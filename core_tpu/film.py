@@ -1,0 +1,193 @@
+"""Image film: differentiable weighted splatting + adaptive AA flags.
+
+The reference accumulates filtered samples into a mutex-guarded pixel buffer
+(imageFilm_t::addSample, src/yafraycore/imagefilm.cc:446-513) using a
+16x16 precomputed filter table.  TPU-native design: the whole wavefront
+splats at once via a deterministic scatter-add (jnp .at[].add lowers to a
+deterministic XLA scatter), the filter weight is evaluated exactly (same
+Box/Mitchell/Gauss/Lanczos formulas, imagefilm.cc:54-115) so the splat is
+differentiable end-to-end, and adaptive-AA resample flags are a vectorized
+neighbor-luminance pass (imagefilm.cc:213-286).
+
+Conventions matched to the reference:
+- filterw = filter_size * 0.5, scaled by 2.6 (Mitchell) / 2 (Gauss),
+  clamped to [0.501, 4.0]  (imagefilm.cc:142-152)
+- footprint: pixels i with round(dx-filterw) <= i <= round(dx+filterw-1)
+- filter argument: |i - (dx-0.5)| / filterw in [0,1] per axis.
+"""
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MAX_FILTER_SIZE = 8
+
+
+class FilterType(enum.IntEnum):
+    BOX = 0
+    MITCHELL = 1
+    GAUSS = 2
+    LANCZOS = 3
+
+
+class Film(NamedTuple):
+    rgba: jnp.ndarray     # [H,W,4] weighted sums
+    weight: jnp.ndarray   # [H,W]
+
+
+def make_film(h: int, w: int) -> Film:
+    return Film(rgba=jnp.zeros((h, w, 4), jnp.float32),
+                weight=jnp.zeros((h, w), jnp.float32))
+
+
+def effective_filterw(filter_size: float, ftype: FilterType) -> float:
+    fw = 0.5 * filter_size
+    if ftype == FilterType.MITCHELL:
+        fw *= 2.6
+    elif ftype == FilterType.GAUSS:
+        fw *= 2.0
+    return float(min(max(0.501, fw), 0.5 * MAX_FILTER_SIZE))
+
+
+def _filter_weight(ftype: FilterType, ndx, ndy):
+    """Filter value at normalized per-axis offsets in [0,1] (the reference
+    table is sampled on exactly this domain, imagefilm.cc:158-165)."""
+    if ftype == FilterType.BOX:
+        return jnp.ones_like(ndx)
+    if ftype == FilterType.MITCHELL:
+        x = 2.0 * jnp.sqrt(ndx * ndx + ndy * ndy)
+        far = x * (x * (x * -0.38888889 + 2.0) - 3.33333333) + 1.77777778
+        near = x * x * (1.16666666 * x - 2.0) + 0.88888889
+        return jnp.where(x >= 2.0, 0.0, jnp.where(x >= 1.0, far, near))
+    if ftype == FilterType.GAUSS:
+        r2 = ndx * ndx + ndy * ndy
+        return jnp.maximum(jnp.exp(-6.0 * r2) - 0.00247875, 0.0)
+    if ftype == FilterType.LANCZOS:
+        x = jnp.sqrt(ndx * ndx + ndy * ndy)
+        a = np.pi * x
+        b = np.pi * 0.5 * x
+        safe = jnp.where(x < 1e-6, 1.0, a * b)
+        val = jnp.where(x < 1e-6, 1.0, jnp.sin(a) * jnp.sin(b) / safe)
+        return jnp.where(x < 2.0, val, 0.0)
+    raise ValueError(ftype)
+
+
+def _round2int(x):
+    return jnp.floor(x + 0.5).astype(jnp.int32)
+
+
+def add_samples(film: Film, x, y, dx, dy, col_rgba,
+                filterw: float, ftype: FilterType,
+                sample_mask=None, clamp_rgb: bool = False) -> Film:
+    """Splat a wavefront of samples.
+
+    x,y: integer pixel coords [N]; dx,dy: in-pixel offsets [N] in [0,1);
+    col_rgba: [N,4].  sample_mask: [N] bool — masked-out samples contribute
+    nothing (used by adaptive AA and zero-weight camera rays).
+    """
+    h, w = film.weight.shape
+    if clamp_rgb:
+        col_rgba = jnp.concatenate(
+            [jnp.clip(col_rgba[..., :3], 0.0, 1.0), col_rgba[..., 3:]], axis=-1)
+    k = int(np.floor(2 * filterw)) + 1
+    dx0 = _round2int(dx - filterw)
+    dx1 = _round2int(dx + filterw - 1.0)
+    dy0 = _round2int(dy - filterw)
+    dy1 = _round2int(dy + filterw - 1.0)
+    x_offs = dx - 0.5
+    y_offs = dy - 0.5
+    inv_fw = 1.0 / filterw
+
+    rgba = film.rgba.reshape(-1, 4)
+    weight = film.weight.reshape(-1)
+
+    idx_all = []
+    wcol_all = []
+    wgt_all = []
+    for oy in range(k):
+        j = dy0 + oy
+        for ox in range(k):
+            i = dx0 + ox
+            px = x + i
+            py = y + j
+            ndx = jnp.abs(i.astype(jnp.float32) - x_offs) * inv_fw
+            ndy = jnp.abs(j.astype(jnp.float32) - y_offs) * inv_fw
+            fw_val = _filter_weight(ftype, jnp.minimum(ndx, 1.0), jnp.minimum(ndy, 1.0))
+            ok = (i <= dx1) & (j <= dy1) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+            if sample_mask is not None:
+                ok = ok & sample_mask
+            fw_val = jnp.where(ok, fw_val, 0.0)
+            flat = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
+            idx_all.append(flat)
+            wcol_all.append(col_rgba * fw_val[..., None])
+            wgt_all.append(fw_val)
+    idx = jnp.concatenate(idx_all)
+    wcol = jnp.concatenate(wcol_all)
+    wgt = jnp.concatenate(wgt_all)
+    rgba = rgba.at[idx].add(wcol)
+    weight = weight.at[idx].add(wgt)
+    return Film(rgba=rgba.reshape(h, w, 4), weight=weight.reshape(h, w))
+
+
+def normalized(film: Film):
+    """Per-pixel color = sum/weight (pixel_t::normalized)."""
+    return film.rgba / jnp.maximum(film.weight[..., None], 1e-10)
+
+
+def flush(film: Film, gamma: float = 1.0, clamp: bool = False):
+    """Final image [H,W,4] with gamma correction (imageFilm_t::flush)."""
+    img = normalized(film)
+    rgb = img[..., :3]
+    if clamp:
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+    if abs(gamma - 1.0) > 1e-3:
+        rgb = jnp.power(jnp.maximum(rgb, 0.0), 1.0 / gamma)
+    return jnp.concatenate([rgb, img[..., 3:]], axis=-1)
+
+
+def _col2bri(c):
+    """(R+G+B)/3 — reference color_t::col2bri (color.h)."""
+    return jnp.mean(c[..., :3], axis=-1)
+
+
+def next_pass_flags(film: Film, aa_thresh: float) -> jnp.ndarray:
+    """Adaptive-AA resample flags (imageFilm_t::nextPass,
+    imagefilm.cc:226-270): compare each pixel's brightness against right,
+    down, down-right and down-left neighbors; flag both on delta >= thresh."""
+    img = normalized(film)
+    c = jnp.abs(_col2bri(img))      # abscol2bri on self
+    b = _col2bri(img)               # col2bri on neighbors
+    h, w = c.shape
+    flags = jnp.zeros((h, w), bool)
+
+    def delta(sy, sx):
+        # |c(x,y) - b(x+sx, y+sy)| computed on the valid overlap
+        cc = c[: h - sy if sy else h, : w - sx if sx else w]
+        if sx >= 0:
+            bb = b[sy:, sx:]
+        else:
+            cc = c[: h - sy, -sx:]
+            bb = b[sy:, : w + sx]
+        return jnp.abs(cc - bb) >= aa_thresh
+
+    # right neighbor
+    d = delta(0, 1)
+    flags = flags.at[:, :-1].set(flags[:, :-1] | d)
+    flags = flags.at[:, 1:].set(flags[:, 1:] | d)
+    # down neighbor
+    d = delta(1, 0)
+    flags = flags.at[:-1, :].set(flags[:-1, :] | d)
+    flags = flags.at[1:, :].set(flags[1:, :] | d)
+    # down-right
+    d = delta(1, 1)
+    flags = flags.at[:-1, :-1].set(flags[:-1, :-1] | d)
+    flags = flags.at[1:, 1:].set(flags[1:, 1:] | d)
+    # down-left
+    d = delta(1, -1)
+    flags = flags.at[:-1, 1:].set(flags[:-1, 1:] | d)
+    flags = flags.at[1:, :-1].set(flags[1:, :-1] | d)
+    return flags

@@ -1,0 +1,113 @@
+"""Parallelogram area light (reference src/lights/arealight.cc).
+
+Conventions copied from the reference so MIS weights and radiance match:
+- stored color = user color * power * pi               (arealight.cc:37)
+- illumSample pdf = dist^2 * pi / (area * cos_angle)   (arealight.cc:86)
+- intersect ipdf  = area * cos_angle / (t^2 * pi)      (arealight.cc:151)
+- single-sided: emits only on the fnormal = toY x toX side.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from core_tpu.mathutils import dot, normalize, cross
+from core_tpu.lights.base import LightSample, LightHit
+
+DIRAC = False
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AreaLight:
+    corner: jnp.ndarray      # [3]
+    to_x: jnp.ndarray        # [3]
+    to_y: jnp.ndarray        # [3]
+    color: jnp.ndarray       # [3] radiance * pi
+    area: jnp.ndarray        # [] scalar
+    fnormal: jnp.ndarray     # [3] emission-side normal
+    samples: int = field(metadata=dict(static=True), default=4)
+    obj_id: int = field(metadata=dict(static=True), default=-1)
+
+
+def make_area_light(corner, point1, point2, color, power, samples=4,
+                    obj_id=-1) -> AreaLight:
+    corner = np.asarray(corner, np.float32)
+    to_x = np.asarray(point1, np.float32) - corner
+    to_y = np.asarray(point2, np.float32) - corner
+    fnormal = np.cross(to_y, to_x)
+    area = float(np.linalg.norm(fnormal))
+    fnormal = fnormal / max(area, 1e-20)
+    col = np.asarray(color, np.float32) * power * np.pi
+    return AreaLight(corner=jnp.asarray(corner), to_x=jnp.asarray(to_x),
+                     to_y=jnp.asarray(to_y), color=jnp.asarray(col),
+                     area=jnp.asarray(area, jnp.float32),
+                     fnormal=jnp.asarray(fnormal, jnp.float32),
+                     samples=int(samples), obj_id=int(obj_id))
+
+
+def can_intersect(light: AreaLight) -> bool:
+    return True
+
+
+def get_n_samples(light: AreaLight) -> int:
+    return light.samples
+
+
+def illum_sample(light: AreaLight, sp, s1, s2) -> LightSample:
+    p = light.corner[None] + s1[..., None] * light.to_x[None] \
+        + s2[..., None] * light.to_y[None]
+    ldir = p - sp.p
+    dist2 = jnp.sum(ldir * ldir, axis=-1)
+    dist = jnp.sqrt(dist2)
+    wi = ldir / jnp.maximum(dist[..., None], 1e-12)
+    cos_angle = dot(wi, light.fnormal[None])
+    valid = (dist > 0.0) & (cos_angle > 0.0)
+    pdf = dist2 * np.pi / jnp.maximum(light.area * cos_angle, 1e-12)
+    col = jnp.broadcast_to(light.color, wi.shape)
+    return LightSample(valid=valid, wi=wi, dist=dist, col=col, pdf=pdf)
+
+
+def illuminate(light: AreaLight, sp) -> LightSample:
+    raise TypeError("area light is not a dirac light")
+
+
+def intersect_light(light: AreaLight, rays) -> LightHit:
+    """Ray-parallelogram intersection for MIS BSDF samples
+    (arealight.cc:139-155): two triangles (corner,c2,c3) and (corner,c3,c4)."""
+    cos_angle = dot(rays.d, light.fnormal[None])
+    n = light.fnormal[None]
+    denom = cos_angle
+    # plane intersection
+    t = dot(light.corner[None] - rays.o, n) / jnp.where(
+        jnp.abs(denom) < 1e-12, 1e-12, denom)
+    p = rays.o + rays.d * t[..., None]
+    rel = p - light.corner[None]
+    # decompose rel into (to_x, to_y) coordinates via normal equations
+    xx = jnp.sum(light.to_x * light.to_x)
+    yy = jnp.sum(light.to_y * light.to_y)
+    xy = jnp.sum(light.to_x * light.to_y)
+    rx = dot(rel, light.to_x[None])
+    ry = dot(rel, light.to_y[None])
+    det = xx * yy - xy * xy
+    a = (rx * yy - ry * xy) / jnp.maximum(det, 1e-20)
+    b = (ry * xx - rx * xy) / jnp.maximum(det, 1e-20)
+    inside = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+    valid = (cos_angle > 0.0) & inside & (t > 1e-10)
+    ipdf = jnp.where(valid,
+                     light.area * cos_angle / jnp.maximum(t * t, 1e-20) / np.pi,
+                     0.0)
+    col = jnp.broadcast_to(light.color, rays.d.shape)
+    return LightHit(valid=valid, t=jnp.where(valid, t, -1.0), col=col, ipdf=ipdf)
+
+
+def illum_pdf(light: AreaLight, sp, p_light):
+    wi = p_light - sp.p
+    r2 = jnp.sum(wi * wi, axis=-1)
+    wi = wi / jnp.maximum(jnp.sqrt(r2)[..., None], 1e-12)
+    cos_n = dot(wi, light.fnormal[None])
+    return jnp.where(cos_n > 0,
+                     r2 * np.pi / jnp.maximum(light.area * cos_n, 1e-12), 0.0)

@@ -1,0 +1,73 @@
+"""Light interface: typed pytrees + function dispatch on python type.
+
+Reference contract: light_t (include/core_api/light.h:52-113) —
+illumSample/illuminate (surface side), intersect/illumPdf (MIS),
+emitPhoton/emitSample (photon shooting), diracLight/canIntersect/nSamples.
+
+Lights are few, so the integrator unrolls a Python loop over the scene's
+light list inside jit; each light type is a registered dataclass whose array
+fields trace and whose metadata (sample counts, flags) stays static.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class LightSample(NamedTuple):
+    valid: jnp.ndarray   # [N] bool
+    wi: jnp.ndarray      # [N,3] direction surface -> light
+    dist: jnp.ndarray    # [N]
+    col: jnp.ndarray     # [N,3] radiance (reference convention: *pi baked in)
+    pdf: jnp.ndarray     # [N] (reference convention, see lights/area.py)
+
+
+class LightHit(NamedTuple):
+    valid: jnp.ndarray   # [N] bool
+    t: jnp.ndarray       # [N]
+    col: jnp.ndarray     # [N,3]
+    ipdf: jnp.ndarray    # [N] inverse pdf as returned by reference intersect()
+
+
+def _mod(light):
+    """Resolve the module implementing a light's functions."""
+    import core_tpu.lights.area as area
+    import core_tpu.lights.point as point
+    from core_tpu.lights.area import AreaLight
+    from core_tpu.lights.point import PointLight
+    if isinstance(light, AreaLight):
+        return area
+    if isinstance(light, PointLight):
+        return point
+    # late imports to avoid cycles; extended types register here
+    import core_tpu.lights.extra as extra
+    return extra.module_for(light)
+
+
+def dirac(light) -> bool:
+    return _mod(light).DIRAC
+
+
+def can_intersect(light) -> bool:
+    return _mod(light).can_intersect(light)
+
+
+def n_samples(light) -> int:
+    return _mod(light).get_n_samples(light)
+
+
+def illum_sample(light, sp, s1, s2) -> LightSample:
+    return _mod(light).illum_sample(light, sp, s1, s2)
+
+
+def illuminate(light, sp) -> LightSample:
+    return _mod(light).illuminate(light, sp)
+
+
+def intersect_light(light, rays) -> LightHit:
+    return _mod(light).intersect_light(light, rays)
+
+
+def illum_pdf(light, sp, sp_light):
+    return _mod(light).illum_pdf(light, sp, sp_light)

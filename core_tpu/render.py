@@ -1,0 +1,158 @@
+"""Render orchestration: passes, sample chunks, film accumulation.
+
+Replaces the reference's pthread tile scheduler
+(tiledIntegrator_t::render/renderPass/renderTile,
+src/yafraycore/integrator.cc:132-341) with a jit-compiled wavefront pass:
+every pixel of the image gets its samples generated and traced in one (or a
+few, memory-chunked) device launches; tiles become shard_map partitions in
+parallel/sharding.py rather than a work queue.
+
+Pixel-sample QMC matches renderTile (integrator.cc:269-306):
+  sampling_offs = fnv(i * fnv(j))
+  multi-pass AA: dx = RI_vdC(sample, offs), dy = RI_S(sample, offs)
+  single-pass:   dx = (0.5+s)/n,            dy = RI_LP(s + offs)
+Adaptive passes resample only pixels flagged by the film
+(imagefilm.cc:213-286), the rest are masked out of the splat.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from core_tpu.types import Rays
+from core_tpu import film as film_mod
+from core_tpu.film import Film, FilterType
+from core_tpu.sampling import qmc
+from core_tpu.cameras import shoot_ray
+from core_tpu.integrators import direct as direct_mod
+from core_tpu.integrators.direct import DirectOptions
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    aa_passes: int = 1
+    aa_samples: int = 1
+    aa_inc_samples: int = 1
+    aa_threshold: float = 0.05
+    filter_type: FilterType = FilterType.BOX
+    filter_size: float = 1.5
+    gamma: float = 1.0
+    clamp_rgb: bool = False
+    spp_chunk: int = 4            # samples per device launch (memory bound)
+    integrator: str = "directlight"
+    integrator_opts: DirectOptions = field(default_factory=DirectOptions)
+    z_channel: bool = False
+
+
+def _pixel_grid(h, w, spp):
+    """Returns x [N], y [N], sample_index [N] for N = h*w*spp."""
+    ys, xs, ss = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                              jnp.arange(w, dtype=jnp.int32),
+                              jnp.arange(spp, dtype=jnp.int32), indexing="ij")
+    return xs.reshape(-1), ys.reshape(-1), ss.reshape(-1)
+
+
+def _integrator_fn(opts: RenderOptions):
+    if opts.integrator == "directlight":
+        return direct_mod.integrate
+    if opts.integrator == "pathtracing":
+        from core_tpu.integrators import path as path_mod
+        return path_mod.integrate
+    raise ValueError(f"unknown integrator {opts.integrator}")
+
+
+def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
+                 pass_offs: int, spp: int, sample0: int,
+                 resample_mask: Optional[jnp.ndarray]) -> Film:
+    """Trace spp samples for every pixel and splat into film."""
+    cam = scene.camera
+    h, w = cam.resy, cam.resx
+    x, y, s = _pixel_grid(h, w, spp)
+    s = s + sample0
+    pix_i = y.astype(jnp.uint32)
+    pix_j = x.astype(jnp.uint32)
+    sampling_offs = qmc.fnv32a(pix_i * qmc.fnv32a(pix_j))
+    pixel_sample = (np.uint32(pass_offs) + s.astype(jnp.uint32))
+
+    n_total = opts.aa_samples  # for single-pass stratification
+    if opts.aa_passes > 1:
+        dx = qmc.ri_vdc(pixel_sample, sampling_offs)
+        dy = qmc.ri_s(pixel_sample, sampling_offs)
+    elif n_total > 1:
+        dx = (0.5 + s.astype(jnp.float32)) / n_total
+        dy = qmc.ri_lp(s.astype(jnp.uint32) + sampling_offs)
+    else:
+        dx = jnp.full(x.shape, 0.5, jnp.float32)
+        dy = jnp.full(x.shape, 0.5, jnp.float32)
+
+    lens_u = qmc.radical_inverse(
+        3, np.uint32(pass_offs) + sampling_offs + s.astype(jnp.uint32) + 1)
+    lens_v = qmc.radical_inverse(
+        5, np.uint32(pass_offs) + sampling_offs + s.astype(jnp.uint32) + 1)
+
+    px = x.astype(jnp.float32) + dx
+    py = y.astype(jnp.float32) + dy
+    rays, wt = shoot_ray(cam, px, py, lens_u, lens_v)
+
+    integ = _integrator_fn(opts)
+    rgba = integ(scene, types_present, rays,
+                 pixel_sample.astype(jnp.int32), sampling_offs,
+                 opts.integrator_opts)
+    rgba = rgba * wt[..., None]
+
+    mask = wt > 0.0
+    if resample_mask is not None:
+        mask = mask & resample_mask[y, x]
+    return film_mod.add_samples(
+        film, x, y, dx, dy, rgba,
+        filterw=film_mod.effective_filterw(opts.filter_size, opts.filter_type),
+        ftype=opts.filter_type, sample_mask=mask, clamp_rgb=opts.clamp_rgb)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("types_present", "opts", "pass_offs",
+                                    "spp", "sample0", "with_mask"))
+def _render_chunk_jit(scene, types_present, opts, film, pass_offs, spp,
+                      sample0, resample_mask, with_mask):
+    return render_chunk(scene, types_present, opts, film, pass_offs, spp,
+                        sample0, resample_mask if with_mask else None)
+
+
+def render_image(scene, opts: RenderOptions, verbose: bool = False):
+    """Full multi-pass render; returns (image [H,W,4], Film)."""
+    types_present = scene_material_types(scene)
+    cam = scene.camera
+    film = film_mod.make_film(cam.resy, cam.resx)
+    dummy_mask = jnp.ones((cam.resy, cam.resx), bool)
+
+    def run_pass(film, pass_offs, n_samples, resample_mask, with_mask):
+        done = 0
+        while done < n_samples:
+            spp = min(opts.spp_chunk, n_samples - done)
+            film = _render_chunk_jit(scene, types_present, opts, film,
+                                     pass_offs, spp, done,
+                                     resample_mask, with_mask)
+            done += spp
+        return film
+
+    film = run_pass(film, 0, opts.aa_samples, dummy_mask, False)
+    offs = opts.aa_samples
+    for p in range(1, opts.aa_passes):
+        flags = film_mod.next_pass_flags(film, opts.aa_threshold)
+        if verbose:
+            print(f"pass {p + 1}/{opts.aa_passes}: resampling "
+                  f"{int(jnp.sum(flags))} pixels")
+        film = run_pass(film, offs, opts.aa_inc_samples, flags, True)
+        offs += opts.aa_inc_samples
+    img = film_mod.flush(film, gamma=opts.gamma, clamp=opts.clamp_rgb)
+    return img, film
+
+
+def scene_material_types(scene) -> tuple:
+    """Static tuple of material families present (host-side query)."""
+    return tuple(sorted(set(np.asarray(scene.materials.mtype).tolist())))

@@ -1,0 +1,215 @@
+"""Quasi-Monte-Carlo sequences, vectorized for TPU wavefronts.
+
+Reimplements (as batched uint32/jnp math) the sequences the reference engine
+draws every sample from, so images can match it at equal sample counts:
+
+- RI_vdC / RI_S / RI_LP radical inverses  (reference include/utilities/mcqmc.h:100-123)
+- FNV-1a 32-bit hash for per-pixel decorrelation (mcqmc.h:155-168)
+- general-prime radical inverse ("incremental Halton" equivalent;
+  mcqmc.h:29-94 — setStart(i-1)+getNext() == radical_inverse(i))
+- Faure-scrambled Halton `scr_halton(dim, n)`
+  (reference include/yafraycore/scr_halton.h:46-71); the Faure permutation
+  tables (reference src/yafraycore/faure_tables.cc) are *generated* here from
+  the standard recursive Faure construction instead of being stored.
+
+All functions take uint32 (or int) index arrays of any shape and return
+float32 samples in [0, 1].
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_INV32 = float(2.0 ** -32)  # the reference's multRatio (mcqmc.h:99)
+
+# First 50 primes with prims[0] = 1, as the reference indexes its dimensions
+# (scr_halton.h:27-32).
+PRIMES = np.array(
+    [1, 2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61,
+     67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137, 139,
+     149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211, 223,
+     227], dtype=np.int64)
+
+
+def _as_u32(i):
+    if isinstance(i, (int, np.integer)):
+        i = np.uint32(i & 0xFFFFFFFF)
+    return jnp.asarray(i).astype(jnp.uint32)
+
+
+def ri_vdc(i, scramble=0):
+    """Base-2 van der Corput radical inverse with XOR scramble."""
+    return _ri_vdc_jit(_as_u32(i), _as_u32(scramble))
+
+
+@jax.jit
+def _ri_vdc_jit(i, scramble):
+    u = np.uint32
+    bits = i
+    bits = (bits << 16) | (bits >> 16)
+    bits = ((bits & u(0x00FF00FF)) << 8) | ((bits & u(0xFF00FF00)) >> 8)
+    bits = ((bits & u(0x0F0F0F0F)) << 4) | ((bits & u(0xF0F0F0F0)) >> 4)
+    bits = ((bits & u(0x33333333)) << 2) | ((bits & u(0xCCCCCCCC)) >> 2)
+    bits = ((bits & u(0x55555555)) << 1) | ((bits & u(0xAAAAAAAA)) >> 1)
+    x = (bits ^ scramble).astype(jnp.float32) * _INV32
+    return jnp.clip(x, 0.0, 1.0)
+
+
+@functools.lru_cache()
+def _sobol_dirs():
+    """Direction numbers of the reference's RI_S loop: v0=2^31, v_{k+1}=v_k^(v_k>>1)."""
+    v = np.zeros(32, dtype=np.uint32)
+    x = np.uint32(1 << 31)
+    for k in range(32):
+        v[k] = x
+        x = x ^ (x >> np.uint32(1))
+    return v
+
+
+@functools.lru_cache()
+def _lp_dirs():
+    """Direction numbers of RI_LP: v0=2^31, v_{k+1}=v_k|(v_k>>1)."""
+    v = np.zeros(32, dtype=np.uint32)
+    x = np.uint32(1 << 31)
+    for k in range(32):
+        v[k] = x
+        x = x | (x >> np.uint32(1))
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("dirs",))
+def _ri_directions_jit(i, scramble, dirs):
+    r = jnp.broadcast_to(scramble, i.shape)
+    for k in range(32):
+        bit = ((i >> np.uint32(k)) & np.uint32(1)).astype(jnp.uint32)
+        r = r ^ (bit * np.uint32(dirs[k]))
+    x = r.astype(jnp.float32) * _INV32
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _ri_directions(i, scramble, dirs):
+    return _ri_directions_jit(_as_u32(i), _as_u32(scramble), tuple(int(d) for d in dirs))
+
+
+def ri_s(i, scramble=0):
+    """Sobol' second-dimension radical inverse (reference RI_S)."""
+    return _ri_directions(i, scramble, _sobol_dirs())
+
+
+def ri_lp(i, scramble=0):
+    """Larcher & Pillichshammer radical inverse (reference RI_LP)."""
+    return _ri_directions(i, scramble, _lp_dirs())
+
+
+def fnv32a(i):
+    """FNV-1a hash of the 4 little-endian bytes of a uint32 (reference fnv_32a_buf)."""
+    return _fnv32a_jit(_as_u32(i))
+
+
+@jax.jit
+def _fnv32a_jit(i):
+    h = jnp.full(i.shape, np.uint32(0x811C9DC5), dtype=jnp.uint32)
+    prime = np.uint32(0x01000193)
+    for k in range(4):
+        byte = (i >> np.uint32(8 * k)) & np.uint32(0xFF)
+        h = (h ^ byte) * prime
+    return h
+
+
+def radical_inverse(base: int, i):
+    """Radical inverse of i in an arbitrary (static) integer base.
+
+    Equivalent to the reference's incremental `Halton` class evaluated at
+    index i (Halton::setStart(i-1) followed by getNext()).
+    """
+    if base == 2:
+        return ri_vdc(i)
+    return _radical_inverse_jit(_as_u32(i), base)
+
+
+@functools.partial(jax.jit, static_argnames=("base",))
+def _radical_inverse_jit(i, base):
+    ndigits = int(np.ceil(32.0 / np.log2(base)))
+    inv_base = np.float32(1.0 / base)
+    value = jnp.zeros(i.shape, dtype=jnp.float32)
+    factor = inv_base
+    for _ in range(ndigits):
+        digit = (i % base).astype(jnp.float32)
+        value = value + digit * factor
+        i = i // base
+        factor = factor * inv_base
+    return jnp.clip(value, 0.0, 1.0)
+
+
+@functools.lru_cache()
+def _faure_permutation(b: int) -> np.ndarray:
+    """Faure (1992) scrambling permutation sigma_b, built recursively:
+
+    sigma_2 = (0, 1)
+    b even, b=2c: sigma_b = concat(2*sigma_c, 2*sigma_c + 1)
+    b odd,  b=2c+1: take sigma_{b-1}, add 1 to every entry >= c,
+                    insert c at position c.
+
+    Reproduces the reference's stored tables (src/yafraycore/faure_tables.cc).
+    """
+    if b == 1:
+        return np.array([0], dtype=np.int64)
+    if b == 2:
+        return np.array([0, 1], dtype=np.int64)
+    if b % 2 == 0:
+        s = _faure_permutation(b // 2)
+        return np.concatenate([2 * s, 2 * s + 1])
+    c = (b - 1) // 2
+    s = _faure_permutation(b - 1).copy()
+    s[s >= c] += 1
+    return np.concatenate([s[:c], [c], s[c:]])
+
+
+@functools.lru_cache()
+def _faure_table_for_dim(dim: int):
+    base = int(PRIMES[dim])
+    return np.asarray(_faure_permutation(base), dtype=np.int32)
+
+
+def scr_halton(dim: int, n):
+    """Faure-scrambled Halton sample of (static) dimension `dim` at index n.
+
+    Matches reference scrHalton (scr_halton.h:46-71): digits of n in base
+    prims[dim] are permuted by the Faure permutation; result clamped to
+    [1e-36, 1].  dim must be in [1, 49]; the reference falls back to PRNG for
+    dim >= 50 — we wrap the dimension with a per-dim hash scramble instead
+    (still deterministic, still well distributed).
+    """
+    if dim >= 50:
+        # deterministic fallback: scrambled vdC decorrelated by dimension hash
+        return ri_vdc(n, fnv32a(jnp.full_like(jnp.asarray(n, jnp.uint32), dim)))
+    i = _as_u32(n)
+    base = int(PRIMES[dim])
+    if base == 1:
+        return jnp.zeros(i.shape, dtype=jnp.float32)
+    return _scr_halton_jit(i, dim)
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def _scr_halton_jit(i, dim):
+    base = int(PRIMES[dim])
+    sigma = jnp.asarray(_faure_table_for_dim(dim))
+    ndigits = int(np.ceil(32.0 / np.log2(base)))
+    inv_base = np.float32(1.0 / base)
+    value = jnp.zeros(i.shape, dtype=jnp.float32)
+    factor = inv_base
+    for _ in range(ndigits):
+        digit = (i % base).astype(jnp.int32)
+        value = value + sigma[digit].astype(jnp.float32) * factor
+        i = i // base
+        factor = factor * inv_base
+    return jnp.clip(value, 1e-36, 1.0)
+
+
+def add_mod1(a, b):
+    """Reference addMod1 (sample_utils.h): both in [0,1]."""
+    s = a + b
+    return jnp.where(s > 1.0, s - 1.0, s)
