@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: Cornell-box path tracing, forward + backward, Mrays/s/chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+Baseline target (BASELINE.json north star): 80 Mrays/s/chip fwd+bwd.
+Ray accounting: every traced wavefront lane of every closest-hit and
+shadow (any-hit) query of the FORWARD pass counts as one ray; the timed
+step includes the backward sweep (value_and_grad w.r.t. material + light
+parameters), matching the "fwd+bwd" metric definition.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+# --- bench configuration (Cornell path trace, BASELINE config #2 shape) ---
+RES = 256
+SPP_PER_STEP = 1
+LIGHT_SAMPLES = 4
+PATH_SAMPLES = 8
+BOUNCES = 5
+N_TIMED_STEPS = 5
+BASELINE_MRAYS = 80.0
+
+
+def count_rays_per_camera_sample(n_lights: int, light_ns: int,
+                                 path_samples: int, bounces: int) -> int:
+    """Forward rays per camera sample for the pathtracing integrator with
+    intersectable area lights and no specular chains.
+
+    integrate():           1 primary closest hit
+    estimate_all_direct:   per light, light_ns shadow rays (light side)
+                           + light_ns shadow rays (BSDF-MIS side)
+    each path (x path_samples), each bounce (x bounces):
+                           1 closest hit + one-light NEE (2 * light_ns
+                           shadow rays, light chosen stochastically but
+                           every lane still traces)
+    """
+    nee = 2 * light_ns
+    per_path = bounces * (1 + nee)
+    return 1 + n_lights * nee + path_samples * per_path
+
+
+def main():
+    from core_tpu.scenes import cornell_box
+    from core_tpu.render import RenderOptions, scene_material_types
+    from core_tpu.integrators.path import PathOptions
+    from core_tpu import film as film_mod
+    from core_tpu.render import render_chunk
+    from core_tpu.diff import extract_params, apply_params
+
+    scene = cornell_box(resx=RES, resy=RES, light_samples=LIGHT_SAMPLES)
+    opts = RenderOptions(
+        integrator="pathtracing",
+        integrator_opts=PathOptions(path_samples=PATH_SAMPLES,
+                                    bounces=BOUNCES, raydepth=2),
+    )
+    types_present = scene_material_types(scene)
+    params = extract_params(scene)
+    target = jnp.zeros((RES, RES, 4), jnp.float32)
+
+    def loss_fn(params):
+        sc = apply_params(scene, params)
+        film = film_mod.make_film(RES, RES)
+        film = render_chunk(sc, types_present, opts, film, 0,
+                            SPP_PER_STEP, 0, None)
+        img = film_mod.normalized(film)
+        d = img[..., :3] - target[..., :3]
+        return jnp.mean(d * d)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # compile + warmup
+    loss, grads = step(params)
+    jax.block_until_ready((loss, grads))
+
+    t0 = time.perf_counter()
+    for _ in range(N_TIMED_STEPS):
+        loss, grads = step(params)
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+
+    rays_per_cam_sample = count_rays_per_camera_sample(
+        n_lights=len(scene.lights), light_ns=LIGHT_SAMPLES,
+        path_samples=PATH_SAMPLES, bounces=BOUNCES)
+    rays_per_step = RES * RES * SPP_PER_STEP * rays_per_cam_sample
+    mrays = rays_per_step * N_TIMED_STEPS / dt / 1e6
+
+    print(json.dumps({
+        "metric": "cornell_pathtrace_fwd_bwd_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

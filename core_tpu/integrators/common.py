@@ -17,6 +17,7 @@ from core_tpu.types import Rays
 from core_tpu import scene as scene_mod
 from core_tpu.sampling import qmc
 from core_tpu.materials import dispatch
+from core_tpu.materials import base as base_mod
 from core_tpu.materials.base import BSDF
 from core_tpu.lights import base as light_base
 
@@ -85,8 +86,9 @@ def do_light_estimation(scene, types_present, p, sp, wo, light, loffs,
             idx = offs + i.astype(jnp.uint32)
             s1 = qmc.ri_vdc(idx)
             s2 = qmc.radical_inverse(3, idx)
-            sres = dispatch.sample_bsdf(types_present, p, sp, wo, s1, s2,
-                                        BSDF.INTERSECT)
+            sres = base_mod.detach_sample(
+                dispatch.sample_bsdf(types_present, p, sp, wo, s1, s2,
+                                     BSDF.INTERSECT))
             bray = Rays(o=sp.p, d=sres.wi,
                         tmin=jnp.full_like(s1, MIN_RAYDIST),
                         tmax=jnp.full_like(s1, -1.0))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from core_tpu.mathutils import dot, luminance, MIN_RAYDIST
@@ -23,6 +24,7 @@ from core_tpu import scene as scene_mod
 from core_tpu.sampling import qmc
 from core_tpu.sampling.utils import sample_cos_hemisphere
 from core_tpu.materials import dispatch
+from core_tpu.materials import base as base_mod
 from core_tpu.materials.base import BSDF, gather_params
 from core_tpu.integrators import common
 from core_tpu.backgrounds import eval_background
@@ -42,7 +44,7 @@ def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
                include_lights, opts: DirectOptions):
     """Emission + direct lighting at given hits; returns (col, sp, p)."""
     sp = scene_mod.surface_points(scene, rays, hits)
-    p = gather_params(scene.materials, sp.mat)
+    p = scene_mod.material_params(scene, sp)
     wo = -rays.d
     active = hits.valid
 
@@ -67,8 +69,9 @@ def _ambient_occlusion(scene, types_present, p, sp, wo, pixel_sample,
     for i in range(n):
         s1 = qmc.ri_vdc(offs + np.uint32(i))
         s2 = qmc.scr_halton(2, offs + np.uint32(i))
-        sres = dispatch.sample_bsdf(types_present, p, sp, wo, s1, s2,
-                                    BSDF.GLOSSY | BSDF.DIFFUSE | BSDF.REFLECT)
+        sres = base_mod.detach_sample(
+            dispatch.sample_bsdf(types_present, p, sp, wo, s1, s2,
+                                 BSDF.GLOSSY | BSDF.DIFFUSE | BSDF.REFLECT))
         ray = Rays(o=sp.p, d=sres.wi,
                    tmin=jnp.full_like(s1, MIN_RAYDIST),
                    tmax=jnp.full_like(s1, opts.ao_dist))
@@ -114,7 +117,8 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
         take_refl = (r < p_refl) & spec.refl_valid
         branch_col = jnp.where(take_refl[..., None], spec.refl_col, spec.refr_col)
         branch_dir = jnp.where(take_refl[..., None], spec.refl_dir, spec.refr_dir)
-        branch_p = jnp.where(take_refl, p_refl, 1.0 - p_refl)
+        branch_p = jax.lax.stop_gradient(
+            jnp.where(take_refl, p_refl, 1.0 - p_refl))
         throughput_new = throughput * branch_col / jnp.maximum(
             branch_p, 1e-6)[..., None]
 

@@ -26,7 +26,7 @@ from core_tpu.types import Rays
 from core_tpu import scene as scene_mod
 from core_tpu.sampling import qmc
 from core_tpu.materials import dispatch
-from core_tpu.materials.base import BSDF, gather_params
+from core_tpu.materials.base import BSDF, gather_params, detach_sample
 from core_tpu.integrators import common
 from core_tpu.integrators import direct as direct_mod
 from core_tpu.backgrounds import eval_background
@@ -56,8 +56,8 @@ def _one_path(scene, types_present, sp0, p0, wo0, offs, pixel_sample,
     s1 = qmc.ri_vdc(offs)
     s2 = qmc.scr_halton(2, offs)
     first_flags = BSDF.DIFFUSE | BSDF.REFLECT | BSDF.TRANSMIT
-    sres = dispatch.sample_bsdf(types_present, p0, sp0, wo0, s1, s2,
-                                first_flags)
+    sres = detach_sample(dispatch.sample_bsdf(types_present, p0, sp0, wo0,
+                                              s1, s2, first_flags))
     throughput = sres.col * sres.w[..., None]
     rays = Rays(o=sp0.p, d=sres.wi,
                 tmin=jnp.full_like(s1, MIN_RAYDIST),
@@ -66,7 +66,7 @@ def _one_path(scene, types_present, sp0, p0, wo0, offs, pixel_sample,
     active = active0 & hits.valid & (sres.pdf > 0.0)
 
     sp = scene_mod.surface_points(scene, rays, hits)
-    p = gather_params(scene.materials, sp.mat)
+    p = scene_mod.material_params(scene, sp)
     wo = -rays.d
     lcol = common.estimate_one_direct(scene, types_present, p, sp, wo, offs,
                                       pixel_sample, sampling_offs, active)
@@ -79,7 +79,8 @@ def _one_path(scene, types_present, sp0, p0, wo0, offs, pixel_sample,
         d4 = 4 * depth
         s1 = qmc.scr_halton(d4 + 3, offs)
         s2 = qmc.scr_halton(d4 + 4, offs)
-        sres = dispatch.sample_bsdf(types_present, p, sp, wo, s1, s2, BSDF.ALL)
+        sres = detach_sample(
+            dispatch.sample_bsdf(types_present, p, sp, wo, s1, s2, BSDF.ALL))
         scol = sres.col * sres.w[..., None]
         alive = active & (luminance(scol) > 0.0)
         throughput = throughput * scol
@@ -100,7 +101,7 @@ def _one_path(scene, types_present, sp0, p0, wo0, offs, pixel_sample,
         active = alive & hits.valid
 
         sp = scene_mod.surface_points(scene, rays, hits)
-        p = gather_params(scene.materials, sp.mat)
+        p = scene_mod.material_params(scene, sp)
         wo = -rays.d
         has_diffuse = (p.flags & BSDF.DIFFUSE) != 0
         lcol = common.estimate_one_direct(scene, types_present, p, sp, wo,
@@ -121,7 +122,7 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     primary_valid = hits.valid
 
     sp = scene_mod.surface_points(scene, rays, hits)
-    p = gather_params(scene.materials, sp.mat)
+    p = scene_mod.material_params(scene, sp)
     wo = -rays.d
 
     col = jnp.zeros_like(rays.d)
@@ -182,7 +183,8 @@ def _specular_chains(scene, types_present, rays, hits, sp, p, pixel_sample,
         take_refl = (r < p_refl) & spec.refl_valid
         branch_col = jnp.where(take_refl[..., None], spec.refl_col, spec.refr_col)
         branch_dir = jnp.where(take_refl[..., None], spec.refl_dir, spec.refr_dir)
-        branch_p = jnp.where(take_refl, p_refl, 1.0 - p_refl)
+        branch_p = jax.lax.stop_gradient(
+            jnp.where(take_refl, p_refl, 1.0 - p_refl))
         throughput = throughput * branch_col / jnp.maximum(branch_p, 1e-6)[..., None]
 
         nrays = Rays(o=cur_sp.p, d=branch_dir,
@@ -194,7 +196,7 @@ def _specular_chains(scene, types_present, rays, hits, sp, p, pixel_sample,
                               throughput * bg2, 0.0)
 
         nsp = scene_mod.surface_points(scene, nrays, nhits)
-        np_ = gather_params(scene.materials, nsp.mat)
+        np_ = scene_mod.material_params(scene, nsp)
         nwo = -branch_dir
         emit_c = dispatch.emit(types_present, np_)
         has_emit = (np_.flags & BSDF.EMIT) != 0

@@ -193,3 +193,14 @@ def gather_params(table: MaterialTable, mat_idx) -> MaterialTable:
     """Gather per-hit material rows: [M,...] -> [N,...]."""
     idx = jnp.clip(mat_idx, 0, table.mtype.shape[0] - 1)
     return MaterialTable(*[leaf[idx] for leaf in table])
+
+
+def detach_sample(sres):
+    """Detached-sampling gradient estimator: the sampled direction, its pdf
+    and the 1/pdf throughput factor are constants w.r.t. scene parameters;
+    only the BSDF value (col) carries gradients.  E[f(x,theta)/p_detached(x)]
+    differentiates to the correct interior-term gradient (the reference
+    renderer is forward-only; this is the TPU build's AD contract)."""
+    import jax
+    sg = jax.lax.stop_gradient
+    return sres._replace(wi=sg(sres.wi), pdf=sg(sres.pdf), w=sg(sres.w))

@@ -75,9 +75,11 @@ def _oren_nayar(p, wi, wo, n):
     maxcos = jnp.where((cos_ti < 0.9999) & (cos_to < 0.9999),
                        jnp.maximum(dot(v1, v2), 0.0), 0.0)
     ge = cos_to >= cos_ti
-    sin_alpha = jnp.sqrt(1.0 - jnp.where(ge, cos_ti, cos_to) ** 2)
+    # 1e-12 floors: sqrt'(0) is infinite and wi may be parameter-dependent
+    sin_alpha = jnp.sqrt(jnp.maximum(
+        1.0 - jnp.where(ge, cos_ti, cos_to) ** 2, 1e-12))
     cos_b = jnp.where(ge, cos_to, cos_ti)
-    tan_beta = jnp.sqrt(1.0 - cos_b * cos_b) / cos_b
+    tan_beta = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 1e-12)) / cos_b
     return p.oren_nayar[..., 0] + p.oren_nayar[..., 1] * maxcos * sin_alpha * tan_beta
 
 
@@ -137,7 +139,10 @@ def sample_bsdf(p: MaterialTable, sp, wo, s1, s2,
     w, accum = _match_widths(p, comp, kr, req_flags)
     total = jnp.sum(w, axis=-1)
     ok = total > 1e-5
-    inv_total = jnp.where(ok, 1.0 / jnp.maximum(total, 1e-20), 0.0)
+    # safe-denominator double-where: 1/max(total, tiny) has an unbounded
+    # gradient on masked lanes (0 * inf = NaN through the where transpose)
+    total_safe = jnp.where(ok, total, 1.0)
+    inv_total = jnp.where(ok, 1.0 / total_safe, 0.0)
     wn = w * inv_total[..., None]
     cdf = jnp.cumsum(wn, axis=-1)
     pick = jnp.argmax(s1[..., None] <= cdf, axis=-1)
@@ -146,7 +151,8 @@ def sample_bsdf(p: MaterialTable, sp, wo, s1, s2,
     cdf_prev = jnp.where(pick > 0,
                          jnp.take_along_axis(cdf, jnp.maximum(pick - 1, 0)[..., None],
                                              axis=-1)[..., 0], 0.0)
-    s1r = jnp.clip((s1 - cdf_prev) / jnp.maximum(width, 1e-12), 0.0, 1.0)
+    width_safe = jnp.where(width > 1e-12, width, 1.0)
+    s1r = jnp.clip((s1 - cdf_prev) / width_safe, 0.0, 1.0)
 
     # candidate 0: specular mirror reflect
     wi0 = reflect_dir(n, wo)
@@ -212,7 +218,9 @@ def pdf_bsdf(p: MaterialTable, sp, wo, wi, req_flags: int = BSDF.ALL):
                           jnp.abs(dot(wi, n)) * w[..., 2], 0.0)
     # lambertian
     pdf = pdf + jnp.abs(dot(wi, n)) * w[..., 3]
-    return jnp.where(total > 1e-5, pdf / jnp.maximum(total, 1e-20), 0.0)
+    ok = total > 1e-5
+    total_safe = jnp.where(ok, total, 1.0)
+    return jnp.where(ok, pdf / total_safe, 0.0)
 
 
 class SpecularResult(NamedTuple):

@@ -46,15 +46,24 @@ class RenderOptions:
     spp_chunk: int = 4            # samples per device launch (memory bound)
     integrator: str = "directlight"
     integrator_opts: DirectOptions = field(default_factory=DirectOptions)
+    volume_opts: "VolumeOptions" = None
     z_channel: bool = False
 
+    def __post_init__(self):
+        if self.volume_opts is None:
+            from core_tpu.integrators.volume import VolumeOptions
+            object.__setattr__(self, "volume_opts", VolumeOptions())
 
-def _pixel_grid(h, w, spp):
-    """Returns x [N], y [N], sample_index [N] for N = h*w*spp."""
+
+def _pixel_grid(h, w, spp, y0=0):
+    """Returns x [N], y [N], sample_index [N] for N = h*w*spp.
+
+    y0 may be a traced offset (tile sharding: each device renders the row
+    block starting at its axis_index * rows)."""
     ys, xs, ss = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
                               jnp.arange(w, dtype=jnp.int32),
                               jnp.arange(spp, dtype=jnp.int32), indexing="ij")
-    return xs.reshape(-1), ys.reshape(-1), ss.reshape(-1)
+    return xs.reshape(-1), (ys + y0).reshape(-1), ss.reshape(-1)
 
 
 def _integrator_fn(opts: RenderOptions):
@@ -68,11 +77,17 @@ def _integrator_fn(opts: RenderOptions):
 
 def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
                  pass_offs: int, spp: int, sample0: int,
-                 resample_mask: Optional[jnp.ndarray]) -> Film:
-    """Trace spp samples for every pixel and splat into film."""
+                 resample_mask: Optional[jnp.ndarray],
+                 y0=0, rows: Optional[int] = None) -> Film:
+    """Trace spp samples for every pixel and splat into film.
+
+    y0/rows restrict ray generation to a row block [y0, y0+rows) — used by
+    tile sharding (parallel/sharding.py); the splat still lands at global
+    pixel coordinates, so `film` must cover the full image height.
+    """
     cam = scene.camera
     h, w = cam.resy, cam.resx
-    x, y, s = _pixel_grid(h, w, spp)
+    x, y, s = _pixel_grid(rows if rows is not None else h, w, spp, y0=y0)
     s = s + sample0
     pix_i = y.astype(jnp.uint32)
     pix_j = x.astype(jnp.uint32)
@@ -103,6 +118,22 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     rgba = integ(scene, types_present, rays,
                  pixel_sample.astype(jnp.int32), sampling_offs,
                  opts.integrator_opts)
+
+    if scene.volumes:
+        # volume transmittance * surface + in-scatter (reference
+        # tiledIntegrator renderTile applies the volume integrator the same
+        # way, integrator.cc:308-312)
+        from core_tpu import scene as scene_mod
+        from core_tpu.integrators import volume as vol_mod
+        vhits = scene_mod.closest_hit(scene, rays)
+        capped = rays._replace(tmax=jnp.where(vhits.valid, vhits.t, rays.tmax))
+        tr = vol_mod.transmittance(scene, capped, opts.volume_opts.steps)
+        inscatter = vol_mod.integrate(scene, rays, vhits.t,
+                                      pixel_sample.astype(jnp.int32),
+                                      sampling_offs, opts.volume_opts)
+        rgba = jnp.concatenate(
+            [rgba[..., :3] * tr + inscatter, rgba[..., 3:]], axis=-1)
+
     rgba = rgba * wt[..., None]
 
     mask = wt > 0.0
@@ -154,5 +185,11 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False):
 
 
 def scene_material_types(scene) -> tuple:
-    """Static tuple of material families present (host-side query)."""
-    return tuple(sorted(set(np.asarray(scene.materials.mtype).tolist())))
+    """Static tuple of material families the dispatcher must compile.
+    BLEND/MASK rows resolve to their sub-materials in material_params, so
+    they are excluded here (their sub types are included at build time)."""
+    from core_tpu.materials.base import MatType
+    ts = scene.mat_types or tuple(sorted(set(
+        np.asarray(scene.materials.mtype).tolist())))
+    return tuple(t for t in ts
+                 if t not in (int(MatType.BLEND), int(MatType.MASK)))

@@ -21,11 +21,13 @@ def sample_cos_hemisphere(n, ru, rv, s1, s2):
     dir = (ru cos(2pi s2) + rv sin(2pi s2)) sqrt(1-s1) + n sqrt(s1);
     pdf = sqrt(s1)/pi.  (reference sample_utils.h:41-52)
     """
+    # 1e-12 floors keep sqrt gradients finite at the s1 in {0,1} corners
+    # (s1 may depend on scene parameters through CDF remapping).
     z1 = jnp.clip(s1, 0.0, 1.0)
     a = M_2PI * s2
-    r = jnp.sqrt(jnp.maximum(1.0 - z1, 0.0))[..., None]
+    r = jnp.sqrt(jnp.maximum(1.0 - z1, 1e-12))[..., None]
     d = (ru * jnp.cos(a)[..., None] + rv * jnp.sin(a)[..., None]) * r \
-        + n * jnp.sqrt(z1)[..., None]
+        + n * jnp.sqrt(jnp.maximum(z1, 1e-12))[..., None]
     return d
 
 
@@ -36,7 +38,7 @@ def cos_hemisphere_pdf(cos_theta):
 def sample_sphere(s1, s2):
     """Uniform sphere (reference sample_utils.h:56-76)."""
     z = 1.0 - 2.0 * s1
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-12))
     a = M_2PI * s2
     return jnp.stack([jnp.cos(a) * r, jnp.sin(a) * r, z], axis=-1)
 
@@ -44,7 +46,7 @@ def sample_sphere(s1, s2):
 def sample_cone(d, u, v, max_cos_ang, s1, s2):
     """Uniform cone around unit d with frame (u, v) (sample_utils.h:80-86)."""
     cos_ang = 1.0 - (1.0 - max_cos_ang) * s2
-    sin_ang = jnp.sqrt(jnp.maximum(1.0 - cos_ang * cos_ang, 0.0))
+    sin_ang = jnp.sqrt(jnp.maximum(1.0 - cos_ang * cos_ang, 1e-12))
     t1 = M_2PI * s1
     return (u * jnp.cos(t1)[..., None] + v * jnp.sin(t1)[..., None]) \
         * sin_ang[..., None] + d * cos_ang[..., None]
@@ -71,7 +73,7 @@ def min_rot(d, u, d2):
     """Minimum rotation mapping frame (d,u) onto new direction d2
     (reference minRot, sample_utils.h:158-167).  Returns (u2, v2)."""
     cos_alpha = jnp.sum(d * d2, axis=-1, keepdims=True)
-    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - cos_alpha * cos_alpha, 0.0))
+    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - cos_alpha * cos_alpha, 1e-12))
     v = cross(d, d2)
     u2 = cos_alpha * u + (1.0 - cos_alpha) * jnp.sum(v * u, axis=-1, keepdims=True) \
         + sin_alpha * cross(v, u)

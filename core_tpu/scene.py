@@ -30,15 +30,28 @@ class Scene:
     camera: Camera
     background: Any = None            # background pytree or None
     accel: Any = None                 # BVH arrays or None => brute force
+    textures: Any = None              # CompiledTextures or None
+    volumes: tuple = ()               # VolumeRegion pytrees
     # lights' emitting triangles marked in geom.tri_light; static count:
     n_objects: int = field(metadata=dict(static=True), default=0)
     # static capability flags (from material defs at build time) so jit
     # skips whole code paths the scene can never take:
     has_specular: bool = field(metadata=dict(static=True), default=True)
     has_transparency: bool = field(metadata=dict(static=True), default=False)
+    # static tuple of MatType values present in the material table (lets
+    # jit skip whole BSDF families; () = derive host-side when untraced)
+    mat_types: tuple = field(metadata=dict(static=True), default=())
+
+
+def _detach_rays(rays: Rays) -> Rays:
+    """Intersection is not a gradient path (interior-term AD contract:
+    visibility/geometry gradients are out of scope; see diff.py).  Detaching
+    here also keeps the BVH's lax.while_loop out of reverse-mode AD."""
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, rays)
 
 
 def closest_hit(scene: Scene, rays: Rays, exclude_prim=None) -> Hits:
+    rays = _detach_rays(rays)
     if scene.accel is not None:
         from core_tpu.geometry import bvh
         return bvh.closest_hit_bvh(scene.geom, scene.accel, rays,
@@ -47,6 +60,7 @@ def closest_hit(scene: Scene, rays: Rays, exclude_prim=None) -> Hits:
 
 
 def any_hit(scene: Scene, rays: Rays, exclude_prim=None, exclude_prim2=None):
+    rays = _detach_rays(rays)
     if scene.accel is not None:
         from core_tpu.geometry import bvh
         return bvh.any_hit_bvh(scene.geom, scene.accel, rays,
@@ -54,6 +68,69 @@ def any_hit(scene: Scene, rays: Rays, exclude_prim=None, exclude_prim2=None):
                                exclude_prim2=exclude_prim2)
     return isect.any_hit_brute(scene.geom, rays, exclude_prim=exclude_prim,
                                exclude_prim2=exclude_prim2)
+
+
+def material_params(scene: Scene, sp: SurfacePoints):
+    """Per-hit material rows with texture maps applied (the reference's
+    shader-node substitution in initBSDF, e.g. glossy2.cc:88-96: a mapped
+    diffuse node replaces the material's diffuse color per hit).
+
+    BLEND/MASK composites (src/materials/blend.cc, mask.cc) resolve here:
+    mask switches to one of its two sub-material rows by texture threshold
+    (exact); blend lerps the two rows' float columns (exact when both subs
+    share a family, an approximation across families)."""
+    from core_tpu.materials.base import gather_params, MatType
+    p = gather_params(scene.materials, sp.mat)
+
+    table_types = set(scene.mat_types)
+    if not table_types:
+        import numpy as np_
+        table_types = set(np_.asarray(scene.materials.mtype).tolist())
+    if int(MatType.BLEND) in table_types or int(MatType.MASK) in table_types:
+        sub0 = gather_params(scene.materials, p.sub_mat[..., 0])
+        sub1 = gather_params(scene.materials, p.sub_mat[..., 1])
+        is_mask = p.mtype == int(MatType.MASK)
+        is_blend = p.mtype == int(MatType.BLEND)
+        val = p.blend_val
+        if scene.textures is not None:
+            from core_tpu.textures.base import eval_texture
+            trgba = eval_texture(scene.textures, p.blend_tex, sp.p, sp.uv)
+            tval = jnp.mean(trgba[..., :3], axis=-1)
+            has_btex = p.blend_tex >= 0
+            # mask: texture vs threshold; blend: texture drives factor
+            val = jnp.where(has_btex & is_blend, tval, val)
+            mask_pick = jnp.where(has_btex, tval > p.blend_val,
+                                  jnp.zeros_like(is_mask))
+        else:
+            mask_pick = jnp.zeros_like(is_mask)
+
+        def resolve(a, b, leaf0, leaf1, orig):
+            m = is_mask
+            bl = is_blend
+            vv = val
+            while m.ndim < leaf0.ndim:
+                m = m[..., None]
+                bl = bl[..., None]
+                vv = vv[..., None]
+                a = a[..., None]
+            picked = jnp.where(a, leaf1, leaf0)
+            if jnp.issubdtype(leaf0.dtype, jnp.floating):
+                blended = leaf0 * (1.0 - vv) + leaf1 * vv
+            else:
+                blended = picked
+            return jnp.where(m, picked, jnp.where(bl, blended, orig))
+
+        mp = mask_pick
+        p = type(p)(*[resolve(mp, mp, l0, l1, lo)
+                      for l0, l1, lo in zip(sub0, sub1, p)])
+    if scene.textures is not None:
+        from core_tpu.textures.base import eval_texture
+        rgba = eval_texture(scene.textures, p.diffuse_tex, sp.p, sp.uv)
+        has = p.diffuse_tex >= 0
+        p = p._replace(diffuse_color=jnp.where(has[..., None],
+                                               rgba[..., :3],
+                                               p.diffuse_color))
+    return p
 
 
 def surface_points(scene: Scene, rays: Rays, hits: Hits) -> SurfacePoints:

@@ -1,0 +1,116 @@
+"""Gradient correctness: AD vs central finite differences (BASELINE config #4).
+
+QMC sampling is deterministic w.r.t. scene parameters, so finite differences
+of the (modest-spp) render are smooth and the interior-term AD gradients
+must match them closely for albedo and light-intensity parameters.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from core_tpu.scenes import cornell_box
+from core_tpu.render import RenderOptions
+from core_tpu.integrators.direct import DirectOptions
+from core_tpu.integrators.path import PathOptions
+from core_tpu.diff import (extract_params, apply_params, make_loss_fn,
+                           render_flat)
+
+
+def _scene_and_target(opts, spp):
+    scene = cornell_box(resx=32, resy=32, light_samples=2, light_power=30.0)
+    img = render_flat(scene, opts, spp)
+    # perturbed target so gradients are non-trivial
+    target = img * 0.7 + 0.02
+    return scene, jax.lax.stop_gradient(target)
+
+
+def _fd_check(loss_fn, params, key, idx, eps, rtol, atol):
+    """Central finite difference on one coordinate of params[key].
+
+    eps must be large enough that the float32 loss delta is far above one
+    ulp (the render itself is float32); central differencing cancels the
+    second-order term so a large eps stays accurate.
+    """
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    g_ad = float(np.asarray(grads[key])[idx])
+    loss_j = jax.jit(loss_fn)
+
+    def shift(sign):
+        p = dict(params)
+        arr = np.asarray(p[key]).copy()
+        arr[idx] += sign * eps
+        p[key] = jnp.asarray(arr)
+        return float(loss_j(p))
+
+    g_fd = (shift(+1) - shift(-1)) / (2 * eps)
+    assert np.isfinite(g_ad) and np.isfinite(g_fd)
+    assert g_ad == pytest.approx(g_fd, rel=rtol, abs=atol), \
+        f"{key}[{idx}]: AD {g_ad} vs FD {g_fd}"
+    return g_ad, g_fd
+
+
+def test_grad_albedo_directlight():
+    opts = RenderOptions(integrator="directlight",
+                         integrator_opts=DirectOptions(raydepth=0))
+    scene, target = _scene_and_target(opts, spp=2)
+    loss_fn = make_loss_fn(scene, opts, 2, target)
+    params = extract_params(scene)
+    # white wall red channel; red wall green channel
+    g, _ = _fd_check(loss_fn, params, "mat.diffuse_color", (0, 0),
+                     eps=0.05, rtol=2e-2, atol=1e-7)
+    assert abs(g) > 1e-9  # gradient must actually be live
+    # red wall, red channel (the green channel's gradient there is so small
+    # that float32 FD quantization dominates)
+    _fd_check(loss_fn, params, "mat.diffuse_color", (1, 0),
+              eps=0.05, rtol=2e-2, atol=1e-7)
+
+
+def test_grad_light_intensity_directlight():
+    opts = RenderOptions(integrator="directlight",
+                         integrator_opts=DirectOptions(raydepth=0))
+    scene, target = _scene_and_target(opts, spp=2)
+    loss_fn = make_loss_fn(scene, opts, 2, target)
+    params = extract_params(scene)
+    g, _ = _fd_check(loss_fn, params, "light0.color", (0,),
+                     eps=0.2, rtol=2e-2, atol=1e-8)
+    assert abs(g) > 1e-10
+    # emissive material strength (the light's visible geometry)
+    _fd_check(loss_fn, params, "mat.emit_strength", (3,),
+              eps=2.0, rtol=2e-2, atol=1e-8)
+
+
+def test_grad_albedo_pathtracer():
+    opts = RenderOptions(
+        integrator="pathtracing",
+        integrator_opts=PathOptions(path_samples=2, bounces=2, raydepth=0))
+    scene, target = _scene_and_target(opts, spp=1)
+    loss_fn = make_loss_fn(scene, opts, 1, target)
+    params = extract_params(scene)
+    # indirect bounces make albedo gradients nonlinear in theta; FD still
+    # matches because sampling is detached + deterministic.
+    _fd_check(loss_fn, params, "mat.diffuse_color", (0, 0),
+              eps=0.05, rtol=3e-2, atol=1e-7)
+    _fd_check(loss_fn, params, "light0.color", (1,),
+              eps=0.2, rtol=3e-2, atol=1e-8)
+
+
+def test_inverse_recovery_step_descends():
+    """A few SGD steps on albedo+light params reduce the loss."""
+    opts = RenderOptions(integrator="directlight",
+                         integrator_opts=DirectOptions(raydepth=0))
+    scene = cornell_box(resx=24, resy=24, light_samples=2, light_power=30.0)
+    target = render_flat(scene, opts, 2)
+
+    # start from wrong albedo
+    params = extract_params(scene)
+    params["mat.diffuse_color"] = params["mat.diffuse_color"] * 0.5
+    loss_fn = make_loss_fn(scene, opts, 2, jax.lax.stop_gradient(target))
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    losses = []
+    for _ in range(5):
+        loss, g = vg(params)
+        losses.append(float(loss))
+        params = jax.tree_util.tree_map(
+            lambda p, gg: jnp.clip(p - 0.1 * gg, 0.0, None), params, g)
+    assert losses[-1] < losses[0] * 0.25, losses

@@ -1,0 +1,95 @@
+"""Multi-chip sharding: 8-virtual-device CPU mesh (conftest sets XLA flags).
+
+Checks that the shard_map tile/spp-sharded render matches the single-device
+render exactly, and that the sharded train step produces finite loss and
+grads that match the unsharded ones.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from core_tpu.scenes import cornell_box
+from core_tpu.render import RenderOptions
+from core_tpu.integrators.direct import DirectOptions
+from core_tpu.diff import extract_params, render_flat, make_loss_fn
+from core_tpu.parallel.sharding import make_mesh, render_sharded, make_train_step
+
+def _n_test_devices():
+    try:
+        cpu = jax.devices("cpu")
+        if len(jax.devices()) < 8 <= len(cpu):
+            # dev box with one accelerator: run unsharded references on the
+            # CPU too so sharded-vs-single comparisons are same-backend
+            jax.config.update("jax_default_device", cpu[0])
+        return max(len(jax.devices()), len(cpu))
+    except RuntimeError:
+        return len(jax.devices())
+
+
+pytestmark = pytest.mark.skipif(_n_test_devices() < 8,
+                                reason="needs 8 virtual devices")
+
+OPTS = RenderOptions(integrator="directlight",
+                     integrator_opts=DirectOptions(raydepth=0))
+
+
+def _assert_images_match(img, ref):
+    """Sharded and single-device renders agree except for rare ulp-flips of
+    binary visibility tests (different shard shapes -> different XLA fusion
+    -> last-ulp differences that flip shadow-ray comparisons on boundary
+    samples).  Require: tight agreement on >=99.5% of elements and a tiny
+    global mean error."""
+    denom = np.maximum(np.abs(ref), 1.0)
+    rel = np.abs(img - ref) / denom
+    assert (rel < 1e-3).mean() > 0.995, (rel.max(), (rel >= 1e-3).mean())
+    assert rel.mean() < 1e-4
+
+
+def test_sharded_render_matches_single():
+    scene = cornell_box(resx=32, resy=32, light_samples=2)
+    ref = render_flat(scene, OPTS, spp=4)
+
+    mesh = make_mesh(8, spp_parallel=2)       # 4 tile shards x 2 spp shards
+    img = render_sharded(scene, OPTS, mesh, spp=4)
+    _assert_images_match(np.asarray(img), np.asarray(ref))
+
+
+def test_sharded_render_1d_mesh():
+    scene = cornell_box(resx=32, resy=32, light_samples=2)
+    ref = render_flat(scene, OPTS, spp=2)
+    mesh = make_mesh(8, spp_parallel=1)       # pure tile sharding
+    img = render_sharded(scene, OPTS, mesh, spp=2)
+    _assert_images_match(np.asarray(img), np.asarray(ref))
+
+
+def test_sharded_train_step_grads_match():
+    scene = cornell_box(resx=32, resy=32, light_samples=2)
+    target = jax.lax.stop_gradient(render_flat(scene, OPTS, spp=2) * 0.8)
+    params = extract_params(scene)
+
+    # unsharded reference grads
+    loss_fn = make_loss_fn(scene, OPTS, 2, target)
+    ref_loss, ref_g = jax.value_and_grad(loss_fn)(params)
+
+    mesh = make_mesh(8, spp_parallel=2)
+    step = make_train_step(scene, OPTS, mesh, spp=2, lr=0.0)  # lr=0: inspect
+    loss, new_params = step(params, target)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               rtol=1e-4, atol=1e-7)
+    # lr=0 => params unchanged; rerun with lr>0 to check grads move params
+    step2 = make_train_step(scene, OPTS, mesh, spp=2, lr=1.0)
+    _, moved = step2(params, target)
+    delta = np.asarray(params["mat.diffuse_color"]) \
+        - np.asarray(moved["mat.diffuse_color"])
+    np.testing.assert_allclose(delta, np.asarray(ref_g["mat.diffuse_color"]),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    ge.dryrun_multichip(8)
