@@ -34,13 +34,26 @@ def _mod(light):
     """Resolve the module implementing a light's functions."""
     import core_tpu.lights.area as area
     import core_tpu.lights.point as point
-    from core_tpu.lights.area import AreaLight
-    from core_tpu.lights.point import PointLight
-    if isinstance(light, AreaLight):
-        return area
-    if isinstance(light, PointLight):
-        return point
-    # late imports to avoid cycles; extended types register here
+    import core_tpu.lights.spot as spot
+    import core_tpu.lights.sun as sun
+    import core_tpu.lights.sphere as sphere
+    import core_tpu.lights.mesh as mesh
+    import core_tpu.lights.bg as bg
+    table = (
+        (area.AreaLight, area),
+        (point.PointLight, point),
+        (spot.SpotLight, spot),
+        (sun.DirectionalLight, sun._DirectionalOps),
+        (sun.SunLight, sun._SunOps),
+        (sphere.SphereLight, sphere),
+        (mesh.MeshLight, mesh),
+        (bg.BgLight, bg),
+    )
+    for cls, mod in table:
+        if isinstance(light, cls):
+            return mod
+    # extension point for user light plugins (reference: dlopen plugin
+    # registry, environment.cc:119-135 -> python registry)
     import core_tpu.lights.extra as extra
     return extra.module_for(light)
 
