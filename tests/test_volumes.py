@@ -1,0 +1,110 @@
+"""Volume regions + volume integrators."""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from core_tpu.types import Rays
+from core_tpu.volumes import (make_uniform_volume, make_expdensity_volume,
+                              make_noise_volume, make_grid_volume,
+                              sigma_t, tau, phase_hg)
+from core_tpu.integrators import volume as vol_mod
+from core_tpu.integrators.volume import VolumeOptions
+
+
+def _rays_through(n=4):
+    o = jnp.tile(jnp.asarray([[-2.0, 0.5, 0.5]], jnp.float32), (n, 1))
+    d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1))
+    return Rays(o=o, d=d, tmin=jnp.zeros(n), tmax=jnp.full(n, -1.0))
+
+
+def test_uniform_tau_analytic():
+    vol = make_uniform_volume(sigma_a=0.3, sigma_s=0.2,
+                              bmin=(0, 0, 0), bmax=(1, 1, 1))
+    rays = _rays_through()
+    t = np.asarray(tau(vol, rays))
+    np.testing.assert_allclose(t, 0.5, rtol=1e-5)   # 1 unit * (0.3+0.2)
+    # ray missing the box
+    miss = Rays(o=jnp.asarray([[-2.0, 5.0, 0.5]]),
+                d=jnp.asarray([[1.0, 0.0, 0.0]]),
+                tmin=jnp.zeros(1), tmax=jnp.full(1, -1.0))
+    np.testing.assert_allclose(np.asarray(tau(vol, miss)), 0.0)
+
+
+def test_expdensity_marched_tau():
+    vol = make_expdensity_volume(sigma_a=1.0, sigma_s=0.0, a=1.0, b=2.0,
+                                 bmin=(0, 0, 0), bmax=(1, 1, 1))
+    # horizontal ray at height h: tau = exp(-2h) * 1
+    for h, expect in [(0.0, 1.0), (0.5, np.exp(-1.0))]:
+        r = Rays(o=jnp.asarray([[-1.0, 0.5, h + 1e-4]]),
+                 d=jnp.asarray([[1.0, 0.0, 0.0]]),
+                 tmin=jnp.zeros(1), tmax=jnp.full(1, -1.0))
+        t = float(np.asarray(tau(vol, r, n_steps=64))[0, 0])
+        assert abs(t - expect) < 0.02, (h, t, expect)
+
+
+def test_grid_volume_trilinear():
+    grid = np.zeros((4, 4, 4), np.float32)
+    grid[2:, :, :] = 1.0   # density 1 in x upper half
+    vol = make_grid_volume(grid, sigma_a=1.0, sigma_s=0.0,
+                           bmin=(0, 0, 0), bmax=(1, 1, 1))
+    p = jnp.asarray([[0.9, 0.5, 0.5], [0.1, 0.5, 0.5]], jnp.float32)
+    st = np.asarray(sigma_t(vol, p))
+    assert st[0, 0] > 0.9 and st[1, 0] < 0.1
+
+
+def test_phase_normalization():
+    vol = make_uniform_volume(g=0.4)
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(20000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    wl = jnp.asarray([[0.0, 0.0, 1.0]] * 20000, jnp.float32)
+    ph = np.asarray(phase_hg(vol, wl, jnp.asarray(d, jnp.float32)))
+    # integral over the sphere ~ mean * 4pi ~ 1
+    np.testing.assert_allclose(ph.mean() * 4 * np.pi, 1.0, rtol=0.05)
+
+
+def test_render_with_volume():
+    """Cornell box filled with thin homogeneous fog renders finite and
+    dimmer than without."""
+    from core_tpu.scenes import cornell_box
+    from core_tpu.render import RenderOptions, render_image
+    from core_tpu.integrators.direct import DirectOptions
+
+    scene = cornell_box(resx=16, resy=16, light_samples=1)
+    opts = RenderOptions(integrator="directlight",
+                         integrator_opts=DirectOptions(raydepth=0))
+    img0, _ = render_image(scene, opts)
+
+    fog = make_uniform_volume(sigma_a=(0.001, 0.001, 0.001), sigma_s=0.0,
+                              bmin=(0, 0, 0), bmax=(556, 548.8, 559.2))
+    scene_fog = dataclasses.replace(scene, volumes=(fog,))
+    opts_fog = RenderOptions(integrator="directlight",
+                             integrator_opts=DirectOptions(raydepth=0),
+                             volume_opts=VolumeOptions(integrator="emission",
+                                                       steps=8))
+    img1, _ = render_image(scene_fog, opts_fog)
+    a = np.asarray(img0)[..., :3]
+    b = np.asarray(img1)[..., :3]
+    assert np.isfinite(b).all()
+    assert b.mean() < a.mean()          # absorption dims the image
+    assert b.mean() > 0.3 * a.mean()    # but not to black
+
+
+def test_single_scatter_adds_light():
+    from core_tpu.scenes import cornell_box
+    from core_tpu.render import RenderOptions, render_image
+    from core_tpu.integrators.direct import DirectOptions
+
+    scene = cornell_box(resx=12, resy=12, light_samples=1)
+    fog = make_uniform_volume(sigma_a=0.0, sigma_s=(0.002, 0.002, 0.002),
+                              bmin=(0, 0, 0), bmax=(556, 548.8, 559.2))
+    scene = dataclasses.replace(scene, volumes=(fog,))
+    opts = RenderOptions(
+        integrator="directlight",
+        integrator_opts=DirectOptions(raydepth=0),
+        volume_opts=VolumeOptions(integrator="singlescatter", steps=8))
+    img, _ = render_image(scene, opts)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    assert img[..., :3].mean() > 0.0
