@@ -1,0 +1,145 @@
+"""Embedding API — the reference's yafrayInterface_t
+(include/interface/yafrayinterface.h:45-146): paramsSet* builders, create*
+factories, geometry push calls, and render().  This is the entry point for
+DCC exporters (the reference's Blender addon drives exactly this surface,
+src/bindings/yafrayinterface.i).
+
+    yi = Interface()
+    yi.params_set_string("type", "shinydiffusemat")
+    yi.params_set_color("color", 0.8, 0.2, 0.2)
+    yi.create_material("red")
+    yi.start_tri_mesh(); yi.add_vertex(...); yi.add_triangle(a, b, c)
+    yi.create_camera(...); yi.create_light(...)
+    img = yi.render()
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from core_tpu.params import ParamMap
+from core_tpu.environment import SceneBuilder
+
+
+class Interface:
+    def __init__(self):
+        self.clear_all()
+
+    # ---- lifecycle (startScene / clearAll) ----
+
+    def clear_all(self):
+        self.builder = SceneBuilder()
+        self._params = ParamMap()
+        self._scene = None
+        self._opts = None
+
+    start_scene = clear_all
+
+    # ---- paramsSet* (yafrayinterface.h paramsSetPoint/String/...) ----
+
+    def params_clear(self):
+        self._params = ParamMap()
+
+    def params_set_point(self, name, x, y, z):
+        self._params[name] = (float(x), float(y), float(z))
+
+    def params_set_string(self, name, s):
+        self._params[name] = str(s)
+
+    def params_set_bool(self, name, b):
+        self._params[name] = bool(b)
+
+    def params_set_int(self, name, i):
+        self._params[name] = int(i)
+
+    def params_set_float(self, name, f):
+        self._params[name] = float(f)
+
+    def params_set_color(self, name, r, g, b, a=1.0):
+        self._params[name] = (float(r), float(g), float(b), float(a))
+
+    def _take_params(self) -> ParamMap:
+        p = self._params
+        self._params = ParamMap()
+        return p
+
+    # ---- create* factories ----
+
+    def create_material(self, name):
+        return self.builder.create("material", name, self._take_params())
+
+    def create_light(self, name):
+        return self.builder.create("light", name, self._take_params())
+
+    def create_texture(self, name):
+        return self.builder.create("texture", name, self._take_params())
+
+    def create_camera(self, name):
+        return self.builder.create("camera", name, self._take_params())
+
+    def create_background(self, name):
+        return self.builder.create("background", name, self._take_params())
+
+    def create_integrator(self, name):
+        return self.builder.create("integrator", name, self._take_params())
+
+    def create_volume_region(self, name):
+        return self.builder.create("volumeregion", name, self._take_params())
+
+    # ---- geometry (startTriMesh/addVertex/addTriangle/smoothMesh) ----
+
+    def start_geometry(self):
+        return True
+
+    def end_geometry(self):
+        return True
+
+    def start_tri_mesh(self, obj_id=None, has_uv=False):
+        m = self.builder.start_mesh(has_uv=has_uv)
+        return m.obj_id
+
+    def end_tri_mesh(self):
+        self.builder.end_mesh()
+        return True
+
+    def add_vertex(self, x, y, z):
+        return self.builder.add_vertex(x, y, z)
+
+    def add_uv(self, u, v):
+        return self.builder.add_uv(u, v)
+
+    def set_current_material(self, name):
+        self.builder.set_material(name)
+
+    def add_triangle(self, a, b, c, uv=None):
+        self.builder.add_triangle(a, b, c, uv=uv)
+        return True
+
+    def smooth_mesh(self, obj_id, angle):
+        return self.builder.smooth_mesh(obj_id, angle)
+
+    def add_instance(self, base_obj_id, matrix):
+        return self.builder.add_instance(base_obj_id, np.asarray(matrix))
+
+    # ---- render params + render ----
+
+    def setup_render(self, **render_params):
+        self.builder.render_params.update(render_params)
+
+    def compile(self):
+        if self._scene is None:
+            self._scene = self.builder.compile_scene()
+            self._opts = self.builder.render_options()
+        return self._scene, self._opts
+
+    def render(self, output_path: Optional[str] = None):
+        """Render and return the image [H,W,4]; optionally write it."""
+        scene, opts = self.compile()
+        from core_tpu.render import render_image
+        img, _ = render_image(scene, opts)
+        img = np.asarray(img)
+        if output_path:
+            from core_tpu.io.image import write_image
+            write_image(output_path, img)
+        return img

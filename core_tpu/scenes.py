@@ -127,4 +127,5 @@ def cornell_box(resx=256, resy=256, light_samples=16, light_power=30.0,
                      for d in mats)
     return Scene(geom=geom, materials=build_material_table(mats),
                  lights=(light,), camera=cam, background=None, accel=None,
-                 has_specular=has_spec, has_transparency=has_transp)
+                 has_specular=has_spec, has_transparency=has_transp,
+                 mat_types=tuple(sorted({int(d.mtype) for d in mats})))
