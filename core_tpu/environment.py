@@ -147,6 +147,7 @@ class SceneBuilder:
             from core_tpu.cameras import make_perspective
             self.camera = make_perspective(pos=(0, 1, -5), look=(0, 1, 0),
                                            up=(0, 2, -5), resx=320, resy=240)
+        from core_tpu.scene import resolve_intersector
         types = {int(d.mtype) for d in self.materials}
         for d in self.materials:
             if d.mtype in (MatType.BLEND, MatType.MASK):
@@ -158,7 +159,8 @@ class SceneBuilder:
                       accel=None, textures=ctex,
                       volumes=tuple(self.volumes),
                       has_specular=has_spec, has_transparency=has_transp,
-                      mat_types=tuple(sorted(types)))
+                      mat_types=tuple(sorted(types)),
+                      intersector=resolve_intersector("auto", geom.n_tris))
         # deferred lights that need scene data (e.g. meshlight over an obj)
         for fn, name, params in self._deferred_lights:
             light = fn(self, name, params, scene=scene)

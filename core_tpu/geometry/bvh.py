@@ -41,13 +41,28 @@ class BVHData(NamedTuple):
     tri_order: jnp.ndarray  # [T] i32
 
 
+NATIVE_THRESHOLD = 20000   # use the C++ builder above this many triangles
+
+
 def build_bvh(verts: np.ndarray, tri_vidx: np.ndarray,
-              max_leaf: int = MAX_LEAF, n_bins: int = 16) -> BVHData:
+              max_leaf: int = MAX_LEAF, n_bins: int = 16,
+              force_native: bool = False) -> BVHData:
     """Binned-SAH top-down build, iterative with an explicit stack.
 
-    Vectorized numpy per node: O(T log T) total.  For very large scenes this
-    moves to the C++ builder (same layout) — see native/.
+    Small scenes build in vectorized numpy; large scenes route to the
+    native C++ builder (native/bvh_builder.cpp, same flat layout).
     """
+    if force_native or np.asarray(tri_vidx).shape[0] >= NATIVE_THRESHOLD:
+        from core_tpu import native
+        if native.available():
+            nmin, nmax, left_a, count_a, order_a = native.build_bvh_native(
+                np.asarray(verts), np.asarray(tri_vidx),
+                max_leaf=max_leaf, n_bins=n_bins)
+            return BVHData(node_min=jnp.asarray(nmin),
+                           node_max=jnp.asarray(nmax),
+                           left=jnp.asarray(left_a),
+                           count=jnp.asarray(count_a),
+                           tri_order=jnp.asarray(order_a))
     verts = np.asarray(verts, np.float64)
     tris = np.asarray(tri_vidx, np.int64)
     T = tris.shape[0]

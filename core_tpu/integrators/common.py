@@ -57,7 +57,7 @@ def do_light_estimation(scene, types_present, p, sp, wo, light, loffs,
     can_int = light_base.can_intersect(light)
 
     def light_sample_body(i, ccol):
-        idx = offs + i.astype(jnp.uint32)
+        idx = offs + jnp.asarray(i, jnp.uint32)
         s1 = qmc.ri_vdc(idx)
         s2 = qmc.radical_inverse(3, idx)
         ls = light_base.illum_sample(light, sp, s1, s2)
@@ -77,13 +77,16 @@ def do_light_estimation(scene, types_present, p, sp, wo, light, loffs,
         ok = active & ls.valid & (~shadowed) & (ls.pdf > 1e-6)
         return ccol + jnp.where(ok[..., None], contrib, 0.0)
 
-    ccol = jax.lax.fori_loop(0, n, light_sample_body, jnp.zeros_like(wo))
+    # fori_loop: measured equal to a static unroll on TPU, with far
+    # smaller HLO / compile time
+    ccol = jax.lax.fori_loop(0, n, lambda i, c: light_sample_body(i, c),
+                             jnp.zeros_like(wo))
     col = col + ccol * inv_n
 
     if can_int:
         # BSDF-sampling side of MIS (mcintegrator.cc:152-190)
         def bsdf_sample_body(i, ccol2):
-            idx = offs + i.astype(jnp.uint32)
+            idx = offs + jnp.asarray(i, jnp.uint32)
             s1 = qmc.ri_vdc(idx)
             s2 = qmc.radical_inverse(3, idx)
             sres = base_mod.detach_sample(
@@ -106,7 +109,9 @@ def do_light_estimation(scene, types_present, p, sp, wo, light, loffs,
                 & (lh.ipdf > 1e-6)
             return ccol2 + jnp.where(ok[..., None], contrib, 0.0)
 
-        ccol2 = jax.lax.fori_loop(0, n, bsdf_sample_body, jnp.zeros_like(wo))
+        ccol2 = jax.lax.fori_loop(0, n,
+                                  lambda i, c: bsdf_sample_body(i, c),
+                                  jnp.zeros_like(wo))
         col = col + ccol2 * inv_n
     return col
 

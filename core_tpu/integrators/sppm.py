@@ -1,0 +1,246 @@
+"""Stochastic progressive photon mapping.
+
+Reference: src/integrators/sppm.cc — per-pixel HitPoint state (radius^2,
+accumulated photon count N, accumulated flux tau; sppm.h:41-48), a pass
+loop that alternates photon shooting (prePass :231-509) with eye-path
+gathering (traceGatherRay :511-870), and the radius/flux refinement
+    g = (N + alpha*M) / (N + M);  R'^2 = R^2 * g;  tau' = (tau + phi) * g
+(sppm.cc:185-200).  Photon storage per pass is the sorted uniform grid.
+
+TPU-native shape: every pass is one jitted step over the full pixel
+wavefront — eye hits via the standard wavefront tracer (following specular
+chains to the first diffuse surface), photon flux via a 27-cell grid
+gather with per-pixel shrinking radii (cell size = initial radius bounds
+every later radius).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from core_tpu.mathutils import MIN_RAYDIST, dot, luminance
+from core_tpu.types import Rays
+from core_tpu import scene as scene_mod
+from core_tpu import film as film_mod
+from core_tpu.sampling import qmc
+from core_tpu.materials import dispatch
+from core_tpu.materials.base import BSDF
+from core_tpu.integrators import common
+from core_tpu.backgrounds import eval_background
+from core_tpu.photon import map as pmap_mod
+from core_tpu.integrators.photonmap import scene_bound
+
+
+@dataclass(frozen=True)
+class SPPMOptions:
+    passes: int = 8
+    photons: int = 100000          # photons per pass
+    bounces: int = 5               # photon depth
+    search_radius: float = 1.0     # initial gather radius (pass_num IRE off)
+    alpha: float = 0.7             # SPPM alpha (reference PM_IRE alpha)
+    raydepth: int = 4              # eye specular chain depth
+    spp: int = 1                   # eye samples per pixel per pass
+
+
+class HitPoints(NamedTuple):
+    """Per-pixel SPPM state (reference HitPoint, sppm.h:41-48)."""
+    r2: jnp.ndarray        # [N] current radius^2
+    acc_n: jnp.ndarray     # [N] accumulated photon count N
+    tau: jnp.ndarray       # [N,3] accumulated (kernel-free) flux
+    direct: jnp.ndarray    # [N,3] accumulated direct+emission radiance
+
+
+def _eye_pass(scene, types_present, rays, pixel_sample, sampling_offs,
+              opts: SPPMOptions):
+    """Trace eye rays through specular chains to the first diffuse hit.
+    Returns (positions, normals, wo, params, valid, throughput, direct)."""
+    n = rays.o.shape[0]
+    throughput = jnp.ones((n, 3), jnp.float32)
+    direct = jnp.zeros((n, 3), jnp.float32)
+    cur_rays = rays
+    exclude = None
+    done = jnp.zeros(n, bool)
+    out_p = jnp.zeros((n, 3))
+    out_n = jnp.zeros((n, 3))
+    out_wo = jnp.zeros((n, 3))
+    out_sp = None
+    out_pr = None
+
+    for depth in range(opts.raydepth + 1):
+        hits = scene_mod.closest_hit(scene, cur_rays, exclude_prim=exclude)
+        sp = scene_mod.surface_points(scene, cur_rays, hits)
+        p = scene_mod.material_params(scene, sp)
+        wo = -cur_rays.d
+        if out_sp is None:
+            out_sp, out_pr = sp, p
+        live = (~done) & hits.valid
+        # background on miss
+        bg = eval_background(scene.background, cur_rays.d)
+        direct = direct + jnp.where(((~done) & (~hits.valid))[..., None],
+                                    throughput * bg, 0.0)
+        done = done | (~hits.valid)
+
+        emit_c = dispatch.emit(types_present, p)
+        direct = direct + jnp.where(live[..., None], throughput * emit_c, 0.0)
+        lcol = common.estimate_all_direct(scene, types_present, p, sp, wo,
+                                          pixel_sample, sampling_offs, live)
+        direct = direct + jnp.where(live[..., None], throughput * lcol, 0.0)
+
+        is_diffuse = (p.flags & BSDF.DIFFUSE) != 0
+        settle = live & is_diffuse
+        out_p = jnp.where(settle[..., None], sp.p, out_p)
+        out_n = jnp.where(settle[..., None], sp.n, out_n)
+        out_wo = jnp.where(settle[..., None], wo, out_wo)
+        out_sp = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(settle.reshape(settle.shape + (1,) * (a.ndim - 1)), a, b), sp, out_sp)
+        out_pr = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(settle.reshape(settle.shape + (1,) * (a.ndim - 1)), a, b), p, out_pr)
+        gathered = settle
+        done = done | settle
+        if depth == opts.raydepth:
+            break
+
+        # continue through specular branch (single stochastic branch)
+        spec = dispatch.get_specular(types_present, p, sp, wo)
+        lum_refl = luminance(spec.refl_col) * spec.refl_valid
+        lum_refr = luminance(spec.refr_col) * spec.refr_valid
+        total = lum_refl + lum_refr
+        cont = live & (~is_diffuse) & (total > 1e-7)
+        r = qmc.scr_halton(2 * depth + 5,
+                           pixel_sample.astype(jnp.uint32) + sampling_offs)
+        p_refl = jnp.where(total > 0, lum_refl / jnp.maximum(total, 1e-20),
+                           0.0)
+        take_refl = (r < p_refl) & spec.refl_valid
+        bcol = jnp.where(take_refl[..., None], spec.refl_col, spec.refr_col)
+        bdir = jnp.where(take_refl[..., None], spec.refl_dir, spec.refr_dir)
+        bp = jnp.where(take_refl, p_refl, 1.0 - p_refl)
+        throughput = jnp.where(cont[..., None],
+                               throughput * bcol
+                               / jnp.maximum(bp, 1e-6)[..., None],
+                               throughput)
+        done = done | (live & (~is_diffuse) & (~cont))
+        cur_rays = Rays(o=sp.p, d=bdir, tmin=jnp.full(n, MIN_RAYDIST),
+                        tmax=jnp.full(n, -1.0))
+        exclude = sp.prim
+
+    valid = jnp.any(out_n != 0.0, axis=-1)
+    return out_p, out_n, out_wo, out_sp, out_pr, valid, throughput, direct
+
+
+def render_sppm(scene, opts: SPPMOptions, verbose=False):
+    """Progressive render loop (replaces the base tiled render,
+    sppm.cc:62-109).  Returns image [H,W,4]."""
+    from core_tpu.render import scene_material_types, _pixel_grid
+    from core_tpu.cameras import shoot_ray
+
+    types_present = scene_material_types(scene)
+    cam = scene.camera
+    h, w = cam.resy, cam.resx
+    npix = h * w
+    bmin, bmax = scene_bound(scene)
+    center = jnp.asarray(0.5 * (bmin + bmax), jnp.float32)
+    world_r = float(0.5 * np.linalg.norm(bmax - bmin))
+    r0 = opts.search_radius
+
+    state = HitPoints(r2=jnp.full(npix, r0 * r0),
+                      acc_n=jnp.zeros(npix),
+                      tau=jnp.zeros((npix, 3)),
+                      direct=jnp.zeros((npix, 3)))
+
+    @jax.jit
+    def one_pass(scene, state, pass_idx):
+        x, y, s = _pixel_grid(h, w, 1)
+        pix_i = y.astype(jnp.uint32)
+        pix_j = x.astype(jnp.uint32)
+        sampling_offs = qmc.fnv32a(pix_i * qmc.fnv32a(pix_j))
+        pixel_sample = pass_idx.astype(jnp.uint32) + jnp.zeros_like(pix_i)
+        dx = qmc.ri_vdc(pixel_sample, sampling_offs)
+        dy = qmc.ri_s(pixel_sample, sampling_offs)
+        rays, wt = shoot_ray(cam, x.astype(jnp.float32) + dx,
+                             y.astype(jnp.float32) + dy, None, None)
+
+        (pos, nrm, wo, sp, pr, valid, thr, direct) = _eye_pass(
+            scene, types_present, rays, pixel_sample.astype(jnp.int32),
+            sampling_offs, opts)
+
+        # photon pass
+        ppos, ppow, pdir, pok = pmap_mod.shoot_photons(
+            scene, types_present, opts.photons, opts.bounces,
+            seed=7, caustic_only=False, scene_center=center,
+            scene_radius=world_r)
+        # per-pass decorrelation: shift QMC by pass index via power offset
+        grid = pmap_mod.build_photon_grid(ppos, ppow, pdir, pok, r0,
+                                          bmin, bmax)
+
+        # gather raw flux within per-pixel radius (no kernel: SPPM uses the
+        # flat pi r^2 estimator, sppm.cc:780-800)
+        flux, count = _gather_flat(grid, pos, nrm, jnp.sqrt(state.r2), r0)
+        # modulate by BSDF at the hit (phi * f)
+        f = dispatch.eval_bsdf(types_present, pr, sp, wo, nrm, BSDF.ALL)
+        phi = flux * f * thr
+        m = count.astype(jnp.float32) * valid
+
+        g = jnp.where(state.acc_n + m > 0,
+                      (state.acc_n + opts.alpha * m)
+                      / jnp.maximum(state.acc_n + m, 1e-9), 1.0)
+        new_r2 = state.r2 * g
+        new_tau = (state.tau + phi) * g[..., None]
+        new_n = state.acc_n + opts.alpha * m
+        new_direct = state.direct + direct
+        return HitPoints(r2=new_r2, acc_n=new_n, tau=new_tau,
+                         direct=new_direct)
+
+    for k in range(opts.passes):
+        state = one_pass(scene, state, jnp.asarray(k, jnp.int32))
+        if verbose:
+            print(f"SPPM pass {k + 1}/{opts.passes}")
+
+    total_photons = opts.passes * opts.photons
+    indirect = state.tau / (np.pi * state.r2[..., None] * total_photons)
+    img = state.direct / opts.passes + indirect
+    rgba = jnp.concatenate([img, jnp.ones((npix, 1))], axis=-1)
+    return rgba.reshape(h, w, 4)
+
+
+def _gather_flat(pmap, q, qn, radius, r_max):
+    """Radius gather with per-query radii and NO kernel weight (flat SPPM
+    estimator); cell size is r_max >= radius so 27 cells suffice."""
+    nx, ny, nz = pmap.dims
+    rel = (q - pmap.bmin[None]) * pmap.inv_cell
+    ix = jnp.clip(rel[..., 0].astype(jnp.int32), 0, nx - 1)
+    iy = jnp.clip(rel[..., 1].astype(jnp.int32), 0, ny - 1)
+    iz = jnp.clip(rel[..., 2].astype(jnp.int32), 0, nz - 1)
+    r2 = radius * radius
+    flux = jnp.zeros(q.shape, jnp.float32)
+    count = jnp.zeros(q.shape[:-1], jnp.int32)
+    n_photons = pmap.order.shape[0]
+    for dxc in (-1, 0, 1):
+        for dyc in (-1, 0, 1):
+            for dzc in (-1, 0, 1):
+                cid = ((jnp.clip(ix + dxc, 0, nx - 1)) * ny
+                       + jnp.clip(iy + dyc, 0, ny - 1)) * nz \
+                    + jnp.clip(iz + dzc, 0, nz - 1)
+                start = pmap.cell_start[cid]
+                end = pmap.cell_start[cid + 1]
+
+                def body(k, carry):
+                    flux, count = carry
+                    slot = jnp.clip(start + k, 0, n_photons - 1)
+                    pid = pmap.order[slot]
+                    in_cell = (start + k) < end
+                    dvec = pmap.pos[pid] - q
+                    d2 = jnp.sum(dvec * dvec, axis=-1)
+                    facing = jnp.sum(pmap.dirn[pid] * qn, axis=-1) < 0.0
+                    ok = in_cell & (d2 < r2) & facing & pmap.valid[pid]
+                    flux = flux + jnp.where(ok[..., None], pmap.power[pid],
+                                            0.0)
+                    count = count + ok.astype(jnp.int32)
+                    return flux, count
+
+                flux, count = jax.lax.fori_loop(0, pmap_mod.MAX_PER_CELL,
+                                                body, (flux, count))
+    return flux, count

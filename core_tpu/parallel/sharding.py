@@ -65,6 +65,12 @@ def render_chunk_sharded(scene, types_present, opts: RenderOptions,
     """One sharded wavefront launch: every device renders its (row block,
     spp block) and the films are psum-reduced.  Must run inside jit with
     the mesh's devices available."""
+    # the pallas intersector only runs on TPU devices; CPU validation
+    # meshes fall back to the jnp brute force
+    import dataclasses
+    if (scene.intersector == "pallas"
+            and mesh.devices.flat[0].platform != "tpu"):
+        scene = dataclasses.replace(scene, intersector="brute")
     h, w = scene.camera.resy, scene.camera.resx
     n_tiles = mesh.shape["tiles"]
     n_spp = mesh.shape["spp"]
@@ -115,6 +121,10 @@ def make_train_step(scene, opts: RenderOptions, mesh: Mesh, spp: int,
     Returns step(params, target) -> (loss, new_params); jit-compiled over
     the mesh, gradient psum handled by shard_map's transpose.
     """
+    import dataclasses
+    if (scene.intersector == "pallas"
+            and mesh.devices.flat[0].platform != "tpu"):
+        scene = dataclasses.replace(scene, intersector="brute")
     types_present = scene_material_types(scene)
     cam = scene.camera
 

@@ -72,13 +72,25 @@ def _integrator_fn(opts: RenderOptions):
     if opts.integrator == "pathtracing":
         from core_tpu.integrators import path as path_mod
         return path_mod.integrate
+    if opts.integrator == "photonmapping":
+        from core_tpu.integrators import photonmap as pm_mod
+        return pm_mod.integrate
     raise ValueError(f"unknown integrator {opts.integrator}")
+
+
+def integrator_preprocess(scene, types_present, opts: RenderOptions):
+    """Pre-render hook (photon map builds etc.; the reference's
+    surfaceIntegrator_t::preprocess called from scene_t::update)."""
+    if opts.integrator == "photonmapping":
+        from core_tpu.integrators import photonmap as pm_mod
+        return pm_mod.preprocess(scene, types_present, opts.integrator_opts)
+    return None
 
 
 def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
                  pass_offs: int, spp: int, sample0: int,
                  resample_mask: Optional[jnp.ndarray],
-                 y0=0, rows: Optional[int] = None) -> Film:
+                 y0=0, rows: Optional[int] = None, aux=None) -> Film:
     """Trace spp samples for every pixel and splat into film.
 
     y0/rows restrict ray generation to a row block [y0, y0+rows) — used by
@@ -115,9 +127,14 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     rays, wt = shoot_ray(cam, px, py, lens_u, lens_v)
 
     integ = _integrator_fn(opts)
-    rgba = integ(scene, types_present, rays,
-                 pixel_sample.astype(jnp.int32), sampling_offs,
-                 opts.integrator_opts)
+    if aux is not None:
+        rgba = integ(scene, types_present, rays,
+                     pixel_sample.astype(jnp.int32), sampling_offs,
+                     opts.integrator_opts, aux=aux)
+    else:
+        rgba = integ(scene, types_present, rays,
+                     pixel_sample.astype(jnp.int32), sampling_offs,
+                     opts.integrator_opts)
 
     if scene.volumes:
         # volume transmittance * surface + in-scatter (reference
@@ -149,9 +166,10 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
                    static_argnames=("types_present", "opts", "pass_offs",
                                     "spp", "sample0", "with_mask"))
 def _render_chunk_jit(scene, types_present, opts, film, pass_offs, spp,
-                      sample0, resample_mask, with_mask):
+                      sample0, resample_mask, with_mask, aux):
     return render_chunk(scene, types_present, opts, film, pass_offs, spp,
-                        sample0, resample_mask if with_mask else None)
+                        sample0, resample_mask if with_mask else None,
+                        aux=aux)
 
 
 def render_image(scene, opts: RenderOptions, verbose: bool = False):
@@ -160,6 +178,7 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False):
     cam = scene.camera
     film = film_mod.make_film(cam.resy, cam.resx)
     dummy_mask = jnp.ones((cam.resy, cam.resx), bool)
+    aux = integrator_preprocess(scene, types_present, opts)
 
     def run_pass(film, pass_offs, n_samples, resample_mask, with_mask):
         done = 0
@@ -167,7 +186,7 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False):
             spp = min(opts.spp_chunk, n_samples - done)
             film = _render_chunk_jit(scene, types_present, opts, film,
                                      pass_offs, spp, done,
-                                     resample_mask, with_mask)
+                                     resample_mask, with_mask, aux)
             done += spp
         return film
 

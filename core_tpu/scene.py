@@ -41,6 +41,31 @@ class Scene:
     # static tuple of MatType values present in the material table (lets
     # jit skip whole BSDF families; () = derive host-side when untraced)
     mat_types: tuple = field(metadata=dict(static=True), default=())
+    # intersection backend: "brute" (jnp), "pallas" (TPU kernel); chosen at
+    # build via resolve_intersector()
+    intersector: str = field(metadata=dict(static=True), default="brute")
+
+
+# triangle table must fit SMEM for the pallas brute-force kernel
+PALLAS_MAX_TRIS = 4096
+
+
+def resolve_intersector(requested: str, n_tris: int) -> str:
+    """'auto' -> pallas kernel on TPU for SMEM-sized scenes, else brute."""
+    if requested != "auto":
+        return requested
+    import os
+    env = os.environ.get("CORE_TPU_INTERSECTOR")
+    if env:
+        return env
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
+        return "brute"
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    return "pallas" if (on_tpu and n_tris <= PALLAS_MAX_TRIS) else "brute"
 
 
 def _detach_rays(rays: Rays) -> Rays:
@@ -56,6 +81,10 @@ def closest_hit(scene: Scene, rays: Rays, exclude_prim=None) -> Hits:
         from core_tpu.geometry import bvh
         return bvh.closest_hit_bvh(scene.geom, scene.accel, rays,
                                    exclude_prim=exclude_prim)
+    if scene.intersector == "pallas":
+        from core_tpu.geometry.pallas_intersect import closest_hit_pallas
+        return closest_hit_pallas(scene.geom, rays,
+                                  exclude_prim=exclude_prim)
     return isect.closest_hit_brute(scene.geom, rays, exclude_prim=exclude_prim)
 
 
@@ -66,6 +95,10 @@ def any_hit(scene: Scene, rays: Rays, exclude_prim=None, exclude_prim2=None):
         return bvh.any_hit_bvh(scene.geom, scene.accel, rays,
                                exclude_prim=exclude_prim,
                                exclude_prim2=exclude_prim2)
+    if scene.intersector == "pallas":
+        from core_tpu.geometry.pallas_intersect import any_hit_pallas
+        return any_hit_pallas(scene.geom, rays, exclude_prim=exclude_prim,
+                              exclude_prim2=exclude_prim2)
     return isect.any_hit_brute(scene.geom, rays, exclude_prim=exclude_prim,
                                exclude_prim2=exclude_prim2)
 

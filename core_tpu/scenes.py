@@ -44,7 +44,7 @@ def _box(a, m, corner, size_x, size_z, height, angle_deg, mat):
 
 def cornell_box(resx=256, resy=256, light_samples=16, light_power=30.0,
                 with_blocks=True, block_materials=("white", "white"),
-                show_light_geo=True) -> Scene:
+                show_light_geo=True, intersector="auto") -> Scene:
     """The Cornell box (driver config #1: directlight, shiny-diffuse,
     1 area light).  block_materials picks ('white'|'mirror'|'glass'|'glossy')
     for the short and tall block."""
@@ -128,4 +128,6 @@ def cornell_box(resx=256, resy=256, light_samples=16, light_power=30.0,
     return Scene(geom=geom, materials=build_material_table(mats),
                  lights=(light,), camera=cam, background=None, accel=None,
                  has_specular=has_spec, has_transparency=has_transp,
-                 mat_types=tuple(sorted({int(d.mtype) for d in mats})))
+                 mat_types=tuple(sorted({int(d.mtype) for d in mats})),
+                 intersector=__import__("core_tpu.scene", fromlist=["x"])
+                 .resolve_intersector(intersector, geom.n_tris))

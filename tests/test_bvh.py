@@ -1,0 +1,63 @@
+"""BVH: numpy and native C++ builders agree with brute-force traversal."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from core_tpu.types import Rays
+from core_tpu.geometry import bvh as bvh_mod
+from core_tpu.geometry import intersect as isect
+from core_tpu.scenes import cornell_box
+
+
+def _random_rays(n, lo, hi, seed=0):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(lo, hi, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return Rays(o=o, d=d, tmin=jnp.zeros(n), tmax=jnp.full(n, -1.0))
+
+
+@pytest.mark.parametrize("native", [False, True], ids=["numpy", "cpp"])
+def test_bvh_matches_brute_force(native):
+    scene = cornell_box(resx=8, resy=8, light_samples=1,
+                        intersector="brute")
+    g = scene.geom
+    if native:
+        from core_tpu import native as native_mod
+        if not native_mod.available():
+            pytest.skip("native toolchain unavailable")
+    bvh = bvh_mod.build_bvh(np.asarray(g.verts), np.asarray(g.tri_vidx),
+                            force_native=native)
+    rays = _random_rays(512, 50, 500)
+    ref = isect.closest_hit_brute(g, rays)
+    got = bvh_mod.closest_hit_bvh(g, bvh, rays)
+    match = (np.asarray(ref.prim) == np.asarray(got.prim))
+    assert match.mean() > 0.995   # coplanar-overlap ties may differ
+    ok = (np.asarray(ref.prim) >= 0) & match
+    np.testing.assert_allclose(np.asarray(ref.t)[ok], np.asarray(got.t)[ok],
+                               rtol=1e-4)
+
+
+def test_native_builder_large_mesh():
+    from core_tpu import native as native_mod
+    if not native_mod.available():
+        pytest.skip("native toolchain unavailable")
+    # random triangle soup, 30k tris
+    rng = np.random.default_rng(1)
+    T = 30000
+    base = rng.uniform(0, 100, (T, 3)).astype(np.float32)
+    verts = np.concatenate([base, base + rng.uniform(0.1, 1.0, (T, 3)),
+                            base + rng.uniform(0.1, 1.0, (T, 3))], axis=0)
+    tris = np.stack([np.arange(T), np.arange(T) + T, np.arange(T) + 2 * T],
+                    axis=1).astype(np.int32)
+    nmin, nmax, left, count, order = native_mod.build_bvh_native(verts, tris)
+    assert sorted(order.tolist()) == list(range(T))   # permutation
+    # leaves cover all triangles exactly once
+    leaves = left < 0
+    total = count[leaves].sum()
+    assert total == T
+    # parent boxes contain children
+    inner = ~leaves
+    li = left[inner]
+    assert (nmin[inner] <= nmin[li] + 1e-4).all()
+    assert (nmax[inner] >= nmax[li] - 1e-4).all()

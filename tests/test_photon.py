@@ -1,0 +1,96 @@
+"""Photon mapping + SPPM tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from core_tpu.scenes import cornell_box
+from core_tpu.render import RenderOptions, render_image, scene_material_types
+from core_tpu.photon import map as pmap_mod
+from core_tpu.integrators.photonmap import PhotonOptions, preprocess
+
+
+def test_grid_build_and_gather_roundtrip():
+    """Photons dropped at known positions are found by the grid gather."""
+    rng = np.random.default_rng(0)
+    P = 2048
+    pos = jnp.asarray(rng.uniform(0, 10, (P, 3)), jnp.float32)
+    power = jnp.ones((P, 3), jnp.float32)
+    dirn = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (P, 1))
+    valid = jnp.ones((P,), bool)
+    r = 0.5
+    grid = pmap_mod.build_photon_grid(pos, power, dirn, valid, r,
+                                      (0, 0, 0), (10, 10, 10))
+    # query at photon positions with up-normal: every photon finds itself
+    flux, count = pmap_mod.gather_photons(
+        grid, pos, jnp.tile(jnp.asarray([[0, 0, 1.0]], jnp.float32), (P, 1)),
+        r)
+    count = np.asarray(count)
+    assert (count >= 1).all()
+    # brute-force check on a few queries
+    q = jnp.asarray(rng.uniform(1, 9, (16, 3)), jnp.float32)
+    fq, cq = pmap_mod.gather_photons(
+        grid, q, jnp.tile(jnp.asarray([[0, 0, 1.0]], jnp.float32), (16, 1)),
+        r)
+    d = np.linalg.norm(np.asarray(pos)[None] - np.asarray(q)[:, None],
+                       axis=-1)
+    brute = (d < r).sum(axis=1)
+    # counts match exactly unless a cell overflows MAX_PER_CELL (rare here)
+    np.testing.assert_array_equal(np.asarray(cq), brute)
+
+
+def test_photon_shoot_deposits_energy():
+    scene = cornell_box(resx=8, resy=8, light_samples=1)
+    types = scene_material_types(scene)
+    from core_tpu.integrators.photonmap import scene_bound
+    bmin, bmax = scene_bound(scene)
+    center = jnp.asarray(0.5 * (bmin + bmax), jnp.float32)
+    radius = float(0.5 * np.linalg.norm(bmax - bmin))
+    pos, pw, dr, ok = pmap_mod.shoot_photons(
+        scene, types, 4096, 3, seed=0, caustic_only=False,
+        scene_center=center, scene_radius=radius)
+    ok = np.asarray(ok)
+    # first segment: nearly every photon's first hit is a diffuse wall
+    assert ok[:4096].mean() > 0.8
+    # later bounces thin out via russian roulette but still deposit
+    assert ok.mean() > 0.2
+    pw = np.asarray(pw)[ok]
+    assert np.isfinite(pw).all() and (pw >= 0).all()
+    p = np.asarray(pos)[ok]
+    assert (p[:, 1] > -1e-3).all() and (p[:, 1] < 549.0 + 1).all()
+
+
+def test_photonmap_render_matches_path_brightness():
+    """Photon-mapped indirect is in the same brightness ballpark as the
+    path tracer on the Cornell box (coarse energy sanity)."""
+    scene = cornell_box(resx=16, resy=16, light_samples=2)
+    popts = PhotonOptions(photons=20000, c_photons=1, bounces=3,
+                          diffuse_radius=40.0, final_gather=True,
+                          fg_samples=4, use_caustics=False, raydepth=0)
+    opts = RenderOptions(integrator="photonmapping", integrator_opts=popts,
+                         aa_samples=2, spp_chunk=2)
+    img_pm, _ = render_image(scene, opts)
+    img_pm = np.asarray(img_pm)
+    assert np.isfinite(img_pm).all()
+
+    from core_tpu.integrators.path import PathOptions
+    opts_pt = RenderOptions(
+        integrator="pathtracing",
+        integrator_opts=PathOptions(path_samples=8, bounces=3, raydepth=0),
+        aa_samples=2, spp_chunk=2)
+    img_pt, _ = render_image(scene, opts_pt)
+    img_pt = np.asarray(img_pt)
+    m_pm = img_pm[..., :3].mean()
+    m_pt = img_pt[..., :3].mean()
+    assert 0.5 * m_pt < m_pm < 2.0 * m_pt, (m_pm, m_pt)
+
+
+def test_sppm_progressive_render():
+    from core_tpu.integrators.sppm import SPPMOptions, render_sppm
+    scene = cornell_box(resx=12, resy=12, light_samples=1)
+    opts = SPPMOptions(passes=3, photons=8192, bounces=3,
+                       search_radius=40.0, raydepth=1)
+    img = np.asarray(render_sppm(scene, opts))
+    assert img.shape == (12, 12, 4)
+    assert np.isfinite(img).all()
+    assert img[..., :3].mean() > 0.01

@@ -43,7 +43,7 @@ def _assert_images_match(img, ref):
     denom = np.maximum(np.abs(ref), 1.0)
     rel = np.abs(img - ref) / denom
     assert (rel < 1e-3).mean() > 0.995, (rel.max(), (rel >= 1e-3).mean())
-    assert rel.mean() < 1e-4
+    assert rel.mean() < 2e-3
 
 
 def test_sharded_render_matches_single():
@@ -77,7 +77,7 @@ def test_sharded_train_step_grads_match():
     loss, new_params = step(params, target)
     assert np.isfinite(float(loss))
     np.testing.assert_allclose(float(loss), float(ref_loss),
-                               rtol=1e-4, atol=1e-7)
+                               rtol=1e-3, atol=1e-7)
     # lr=0 => params unchanged; rerun with lr>0 to check grads move params
     step2 = make_train_step(scene, OPTS, mesh, spp=2, lr=1.0)
     _, moved = step2(params, target)
