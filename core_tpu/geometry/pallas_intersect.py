@@ -112,6 +112,80 @@ def _intersect_kernel(n_tris: int, any_hit: bool,
     v_ref[...] = bv
 
 
+def _any_hit_kernel(n_tris: int, tri_ref, o_ref, d_ref, lim_ref, excl_ref,
+                    hit_ref):
+    """Shadow-ray variant: only a boolean occlusion carry — ~20% fewer VPU
+    ops per triangle than the closest-hit kernel (no best-t/prim/u/v)."""
+    ox = o_ref[0]
+    oy = o_ref[1]
+    oz = o_ref[2]
+    dx = d_ref[0]
+    dy = d_ref[1]
+    dz = d_ref[2]
+    tmin = lim_ref[0]
+    tcap = lim_ref[1]
+    ex0 = excl_ref[0]
+    ex1 = excl_ref[1]
+
+    def body(i, hit):
+        v0x = tri_ref[i, 0]
+        v0y = tri_ref[i, 1]
+        v0z = tri_ref[i, 2]
+        e1x = tri_ref[i, 3]
+        e1y = tri_ref[i, 4]
+        e1z = tri_ref[i, 5]
+        e2x = tri_ref[i, 6]
+        e2y = tri_ref[i, 7]
+        e2z = tri_ref[i, 8]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        det_ok = jnp.abs(det) > 1e-12
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) \
+            & (t > tmin) & (t < tcap) & (i != ex0) & (i != ex1)
+        return hit | ok.astype(jnp.int32)
+
+    hit = jax.lax.fori_loop(0, n_tris, body,
+                            jnp.zeros((SUB, LANES), jnp.int32))
+    hit_ref[...] = hit
+
+
+@functools.partial(jax.jit, static_argnames=("n_tris", "interpret"))
+def _run_any(tri, o3, d3, lim, excl, n_tris: int, interpret: bool = False):
+    n_tiles = o3.shape[1] // SUB
+    ray_spec = pl.BlockSpec((3, SUB, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    lim_spec = pl.BlockSpec((2, SUB, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    nrows = o3.shape[1]
+    return pl.pallas_call(
+        functools.partial(_any_hit_kernel, n_tris),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            ray_spec, ray_spec, lim_spec,
+            pl.BlockSpec((2, SUB, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(tri, o3, d3, lim, excl)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_tris", "any_hit", "interpret"))
 def _run(tri, o3, d3, lim, excl, n_tris: int, any_hit: bool,
@@ -143,6 +217,56 @@ def _run(tri, o3, d3, lim, excl, n_tris: int, any_hit: bool,
         ],
         interpret=interpret,
     )(tri, o3, d3, lim, excl)
+
+
+def _prep_soa(rays_s, exclude_prim, exclude_prim2):
+    """SoA ray wavefront (vec.RaysS) -> kernel tiles.  All reshapes here are
+    dense [N]-array ops (no [N,3] strided slices)."""
+    n = rays_s.tmin.shape[0]
+    pad = (-n) % TILE
+    npad = n + pad
+
+    def pad1(a, fill=0.0):
+        return jnp.pad(a, ((0, pad),), constant_values=fill)
+
+    def rows(a, fill=0.0):
+        return pad1(a, fill).reshape(npad // LANES, LANES)
+
+    tcap = jnp.where(rays_s.tmax > 0, rays_s.tmax, BIG)
+    ex0 = exclude_prim if exclude_prim is not None \
+        else jnp.full(n, -2, jnp.int32)
+    ex1 = exclude_prim2 if exclude_prim2 is not None \
+        else jnp.full(n, -2, jnp.int32)
+    o3 = jnp.stack([rows(rays_s.o.x), rows(rays_s.o.y), rows(rays_s.o.z)], 0)
+    d3 = jnp.stack([rows(rays_s.d.x), rows(rays_s.d.y), rows(rays_s.d.z)], 0)
+    lim = jnp.stack([rows(rays_s.tmin), rows(tcap, fill=-1.0)], axis=0)
+    excl = jnp.stack([rows(ex0.astype(jnp.int32), fill=-2),
+                      rows(ex1.astype(jnp.int32), fill=-2)], axis=0)
+    return o3, d3, lim, excl, n, npad
+
+
+def closest_hit_pallas_s(geom, rays_s, exclude_prim=None,
+                         exclude_prim2=None, interpret=False) -> Hits:
+    """SoA entry: takes vec.RaysS, returns Hits ([N] leaves, layout-neutral)."""
+    tri, n_tris = _pack_tris(geom.verts, geom.tri_vidx)
+    o3, d3, lim, excl, n, npad = _prep_soa(rays_s, exclude_prim,
+                                           exclude_prim2)
+    t, prim, u, v = _run(tri, o3, d3, lim, excl, n_tris, False,
+                         interpret=interpret)
+    t = t.reshape(-1)[:n]
+    prim = prim.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    miss = prim < 0
+    return Hits(t=jnp.where(miss, -1.0, t), prim=prim, u=u, v=v)
+
+
+def any_hit_pallas_s(geom, rays_s, exclude_prim=None, exclude_prim2=None):
+    tri, n_tris = _pack_tris(geom.verts, geom.tri_vidx)
+    o3, d3, lim, excl, n, npad = _prep_soa(rays_s, exclude_prim,
+                                           exclude_prim2)
+    (hit,) = _run_any(tri, o3, d3, lim, excl, n_tris)
+    return hit.reshape(-1)[:n] > 0
 
 
 def _prep(geom, rays: Rays, exclude_prim, exclude_prim2):

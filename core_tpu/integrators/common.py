@@ -1,10 +1,16 @@
-"""Shared Monte-Carlo integrator toolbox, wavefront form.
+"""Shared Monte-Carlo integrator toolbox, wavefront form (SoA core).
 
 Reimplements the reference mcIntegrator_t direct-lighting machinery
 (src/yafraycore/mcintegrator.cc:45-196): per-light Halton-sampled area
 sampling with shadow rays and two-sided MIS (power heuristic), plus the
-dirac-light fast path.  All loops over lights and per-light samples are
-static Python loops unrolled inside jit; every body is full-wavefront.
+dirac-light fast path.
+
+TPU shape: the per-light sample loop is BATCHED into one wide wavefront
+(n_samples x N lanes) so each light costs one illum_sample, one fused BSDF
+eval and ONE any-hit kernel launch for all its samples; the light-side and
+BSDF-MIS-side shadow rays share a single kernel call.  All math runs on
+SoA V3 components (see vec.py for the layout rationale).  The unsuffixed
+AoS functions are compatibility wrappers.
 """
 from __future__ import annotations
 
@@ -12,8 +18,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from core_tpu.mathutils import dot, SHADOW_BIAS, MIN_RAYDIST
-from core_tpu.types import Rays
+from core_tpu.mathutils import SHADOW_BIAS, MIN_RAYDIST
+from core_tpu import vec
+from core_tpu.vec import (V3, dot3, where3, zeros3, tile1, tile3,
+                          untile_sum3, RaysS)
 from core_tpu import scene as scene_mod
 from core_tpu.sampling import qmc
 from core_tpu.materials import dispatch
@@ -24,125 +32,174 @@ from core_tpu.lights import base as light_base
 LOFFS_DELTA = 4567  # reference mcintegrator.cc:42
 
 
-def _shadow_ray(sp, wi, dist):
-    tmax = dist - SHADOW_BIAS
-    return Rays(o=sp.p, d=wi, tmin=jnp.full_like(dist, SHADOW_BIAS), tmax=tmax)
+def _tile_sp(sps, n):
+    return vec.SPS(p=tile3(sps.p, n), n=tile3(sps.n, n), ng=tile3(sps.ng, n),
+                   nu=tile3(sps.nu, n), nv=tile3(sps.nv, n),
+                   u=tile1(sps.u, n), v=tile1(sps.v, n),
+                   mat=tile1(sps.mat, n), light=tile1(sps.light, n),
+                   prim=tile1(sps.prim, n), obj=tile1(sps.obj, n))
 
 
-def do_light_estimation(scene, types_present, p, sp, wo, light, loffs,
-                        pixel_sample, sampling_offs, active):
-    """One light's direct contribution (mcintegrator.cc:73-196).
+def _tile_params(p, n):
+    return jax.tree_util.tree_map(lambda a: tile1(a, n), p)
 
-    active: [N] bool — rays whose shading is meaningful (hit something
-    diffuse).  Inactive lanes still compute but are masked to zero.
-    Returns [N,3].
+
+def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
+                          loffs, pixel_sample, sampling_offs, active):
+    """One light's direct contribution (mcintegrator.cc:73-196), SoA.
+
+    active: [N] bool — rays whose shading is meaningful.  Returns V3 [N].
     """
-    col = jnp.zeros_like(wo)
     l_offs = np.uint32(loffs * LOFFS_DELTA)
 
     if light_base.dirac(light):
-        ls = light_base.illuminate(light, sp)
-        ray = _shadow_ray(sp, ls.wi, ls.dist)
-        shadowed = scene_mod.any_hit(scene, ray, exclude_prim=sp.prim)
-        surf = dispatch.eval_bsdf(types_present, p, sp, wo, ls.wi, BSDF.ALL)
-        contrib = surf * ls.col * jnp.abs(dot(sp.n, ls.wi))[..., None]
+        ls = light_base.illuminate_s(light, sps)
+        ray = RaysS(o=sps.p, d=ls.wi,
+                    tmin=jnp.full_like(ls.dist, SHADOW_BIAS),
+                    tmax=ls.dist - SHADOW_BIAS)
+        shadowed = scene_mod.any_hit_s(scene, ray, exclude_prim=sps.prim)
+        surf = dispatch.eval_bsdf_s(types_present, p, sps, wo, ls.wi,
+                                    BSDF.ALL)
+        contrib = surf * ls.col * jnp.abs(dot3(sps.n, ls.wi))
         ok = active & ls.valid & (~shadowed)
-        return jnp.where(ok[..., None], contrib, 0.0)
+        return where3(ok, contrib, 0.0)
 
-    # area-type light
+    # area-type light: batch its n samples into one (n*N)-lane wavefront
     n = max(1, light_base.n_samples(light))
     inv_n = 1.0 / n
     offs = (np.uint32(n) * pixel_sample.astype(jnp.uint32)
             + sampling_offs + l_offs)
     can_int = light_base.can_intersect(light)
 
-    def light_sample_body(i, ccol):
-        idx = offs + jnp.asarray(i, jnp.uint32)
-        s1 = qmc.ri_vdc(idx)
-        s2 = qmc.radical_inverse(3, idx)
-        ls = light_base.illum_sample(light, sp, s1, s2)
-        ray = _shadow_ray(sp, ls.wi, ls.dist)
-        shadowed = scene_mod.any_hit(scene, ray, exclude_prim=sp.prim)
-        surf = dispatch.eval_bsdf(types_present, p, sp, wo, ls.wi, BSDF.ALL)
-        cos_term = jnp.abs(dot(sp.n, ls.wi))
-        if can_int:
-            mpdf = dispatch.pdf_bsdf(types_present, p, sp, wo, ls.wi,
-                                     BSDF.INTERSECT)
-            l2 = ls.pdf * ls.pdf
-            m2 = mpdf * mpdf
-            w = jnp.where(mpdf > 1e-6, l2 / jnp.maximum(l2 + m2, 1e-20), 1.0)
-        else:
-            w = jnp.ones_like(ls.pdf)
-        contrib = surf * ls.col * (cos_term * w / jnp.maximum(ls.pdf, 1e-12))[..., None]
-        ok = active & ls.valid & (~shadowed) & (ls.pdf > 1e-6)
-        return ccol + jnp.where(ok[..., None], contrib, 0.0)
+    N = offs.shape[0]
+    idx = (jnp.arange(n, dtype=jnp.uint32)[:, None] + offs[None, :]).reshape(-1)
+    s1 = qmc.ri_vdc(idx)
+    s2 = qmc.radical_inverse(3, idx)
+    spb = _tile_sp(sps, n)
+    pb = _tile_params(p, n)
+    wob = tile3(wo, n)
+    activeb = tile1(active, n)
 
-    # fori_loop: measured equal to a static unroll on TPU, with far
-    # smaller HLO / compile time
-    ccol = jax.lax.fori_loop(0, n, lambda i, c: light_sample_body(i, c),
-                             jnp.zeros_like(wo))
-    col = col + ccol * inv_n
+    # --- light-side sampling ---
+    ls = light_base.illum_sample_s(light, spb, s1, s2)
+    l_rays = RaysS(o=spb.p, d=ls.wi,
+                   tmin=jnp.full_like(ls.dist, SHADOW_BIAS),
+                   tmax=ls.dist - SHADOW_BIAS)
+    surf = dispatch.eval_bsdf_s(types_present, pb, spb, wob, ls.wi, BSDF.ALL)
+    cos_term = jnp.abs(dot3(spb.n, ls.wi))
 
     if can_int:
-        # BSDF-sampling side of MIS (mcintegrator.cc:152-190)
-        def bsdf_sample_body(i, ccol2):
-            idx = offs + jnp.asarray(i, jnp.uint32)
-            s1 = qmc.ri_vdc(idx)
-            s2 = qmc.radical_inverse(3, idx)
-            sres = base_mod.detach_sample(
-                dispatch.sample_bsdf(types_present, p, sp, wo, s1, s2,
-                                     BSDF.INTERSECT))
-            bray = Rays(o=sp.p, d=sres.wi,
-                        tmin=jnp.full_like(s1, MIN_RAYDIST),
-                        tmax=jnp.full_like(s1, -1.0))
-            lh = light_base.intersect_light(light, bray)
-            ray = Rays(o=sp.p, d=sres.wi,
+        mpdf = dispatch.pdf_bsdf_s(types_present, pb, spb, wob, ls.wi,
+                                   BSDF.INTERSECT)
+        l2 = ls.pdf * ls.pdf
+        m2 = mpdf * mpdf
+        w = jnp.where(mpdf > 1e-6, l2 / jnp.maximum(l2 + m2, 1e-20), 1.0)
+
+        # --- BSDF-sampling side of MIS (mcintegrator.cc:152-190) ---
+        sres = base_mod.detach_sample(
+            dispatch.sample_bsdf_s(types_present, pb, spb, wob, s1, s2,
+                                   BSDF.INTERSECT))
+        lh = light_base.intersect_light_s(
+            light, RaysS(o=spb.p, d=sres.wi,
+                         tmin=jnp.full_like(s1, MIN_RAYDIST),
+                         tmax=jnp.full_like(s1, -1.0)))
+        b_rays = RaysS(o=spb.p, d=sres.wi,
                        tmin=jnp.full_like(s1, SHADOW_BIAS),
                        tmax=lh.t - SHADOW_BIAS)
-            shadowed = scene_mod.any_hit(scene, ray, exclude_prim=sp.prim)
-            lpdf = 1.0 / jnp.maximum(lh.ipdf, 1e-12)
-            l2 = lpdf * lpdf
-            m2 = sres.pdf * sres.pdf
-            w = m2 / jnp.maximum(l2 + m2, 1e-20)
-            contrib = sres.col * lh.col * (w * sres.w)[..., None]
-            ok = active & lh.valid & (~shadowed) & (sres.pdf > 1e-6) \
-                & (lh.ipdf > 1e-6)
-            return ccol2 + jnp.where(ok[..., None], contrib, 0.0)
 
-        ccol2 = jax.lax.fori_loop(0, n,
-                                  lambda i, c: bsdf_sample_body(i, c),
-                                  jnp.zeros_like(wo))
-        col = col + ccol2 * inv_n
-    return col
+        # ONE shadow kernel launch for both MIS sides
+        cat = RaysS(o=V3(jnp.concatenate([l_rays.o.x, b_rays.o.x]),
+                         jnp.concatenate([l_rays.o.y, b_rays.o.y]),
+                         jnp.concatenate([l_rays.o.z, b_rays.o.z])),
+                    d=V3(jnp.concatenate([l_rays.d.x, b_rays.d.x]),
+                         jnp.concatenate([l_rays.d.y, b_rays.d.y]),
+                         jnp.concatenate([l_rays.d.z, b_rays.d.z])),
+                    tmin=jnp.concatenate([l_rays.tmin, b_rays.tmin]),
+                    tmax=jnp.concatenate([l_rays.tmax, b_rays.tmax]))
+        excl = jnp.concatenate([spb.prim, spb.prim])
+        shad = scene_mod.any_hit_s(scene, cat, exclude_prim=excl)
+        l_shadowed = shad[:n * N]
+        b_shadowed = shad[n * N:]
+
+        lcontrib = surf * ls.col * ((cos_term * w
+                                     / jnp.maximum(ls.pdf, 1e-12)))
+        l_ok = activeb & ls.valid & (~l_shadowed) & (ls.pdf > 1e-6)
+
+        lpdf = 1.0 / jnp.maximum(lh.ipdf, 1e-12)
+        l2b = lpdf * lpdf
+        m2b = sres.pdf * sres.pdf
+        wb = m2b / jnp.maximum(l2b + m2b, 1e-20)
+        bcontrib = sres.col * lh.col * (wb * sres.w)
+        b_ok = activeb & lh.valid & (~b_shadowed) & (sres.pdf > 1e-6) \
+            & (lh.ipdf > 1e-6)
+        total = where3(l_ok, lcontrib, 0.0) + where3(b_ok, bcontrib, 0.0)
+    else:
+        shadowed = scene_mod.any_hit_s(scene, l_rays, exclude_prim=spb.prim)
+        contrib = surf * ls.col * (cos_term / jnp.maximum(ls.pdf, 1e-12))
+        ok = activeb & ls.valid & (~shadowed) & (ls.pdf > 1e-6)
+        total = where3(ok, contrib, 0.0)
+
+    return untile_sum3(total, n) * inv_n
 
 
-def estimate_all_direct(scene, types_present, p, sp, wo, pixel_sample,
-                        sampling_offs, active):
+def estimate_all_direct_s(scene, types_present, p, sps, wo, pixel_sample,
+                          sampling_offs, active) -> V3:
     """Sum over all scene lights (mcintegrator.cc estimateAllDirectLight)."""
-    col = jnp.zeros_like(wo)
+    col = zeros3(active)
     for loffs, light in enumerate(scene.lights):
-        col = col + do_light_estimation(scene, types_present, p, sp, wo,
-                                        light, loffs, pixel_sample,
-                                        sampling_offs, active)
+        col = col + do_light_estimation_s(scene, types_present, p, sps, wo,
+                                          light, loffs, pixel_sample,
+                                          sampling_offs, active)
     return col
 
 
-def estimate_one_direct(scene, types_present, p, sp, wo, n_index,
-                        pixel_sample, sampling_offs, active):
+def estimate_one_direct_s(scene, types_present, p, sps, wo, n_index,
+                          pixel_sample, sampling_offs, active) -> V3:
     """Pick one light by Halton CDF and weight by light count
     (mcintegrator.cc estimateOneDirectLight) — used at path bounces."""
     num = len(scene.lights)
     if num == 0:
-        return jnp.zeros_like(wo)
+        return zeros3(active)
     if num == 1:
-        return do_light_estimation(scene, types_present, p, sp, wo,
-                                   scene.lights[0], 0, pixel_sample,
-                                   sampling_offs, active)
+        return do_light_estimation_s(scene, types_present, p, sps, wo,
+                                     scene.lights[0], 0, pixel_sample,
+                                     sampling_offs, active)
     pick = jnp.minimum((qmc.ri_vdc(n_index) * num).astype(jnp.int32), num - 1)
-    col = jnp.zeros_like(wo)
+    col = zeros3(active)
     for lnum, light in enumerate(scene.lights):
-        c = do_light_estimation(scene, types_present, p, sp, wo, light, lnum,
-                                pixel_sample, sampling_offs,
-                                active & (pick == lnum))
+        c = do_light_estimation_s(scene, types_present, p, sps, wo, light,
+                                  lnum, pixel_sample, sampling_offs,
+                                  active & (pick == lnum))
         col = col + c
     return col * float(num)
+
+
+# ---------------------------------------------------------------------------
+# AoS compatibility wrappers (photon/SPPM/direct integrators, tests)
+# ---------------------------------------------------------------------------
+
+def _to_soa(p, sp, wo):
+    return base_mod.params_to_soa(p), vec.sp_to_soa(sp), vec.v3(wo)
+
+
+def do_light_estimation(scene, types_present, p, sp, wo, light, loffs,
+                        pixel_sample, sampling_offs, active):
+    ps, sps, wos = _to_soa(p, sp, wo)
+    return vec.aos(do_light_estimation_s(scene, types_present, ps, sps, wos,
+                                         light, loffs, pixel_sample,
+                                         sampling_offs, active))
+
+
+def estimate_all_direct(scene, types_present, p, sp, wo, pixel_sample,
+                        sampling_offs, active):
+    ps, sps, wos = _to_soa(p, sp, wo)
+    return vec.aos(estimate_all_direct_s(scene, types_present, ps, sps, wos,
+                                         pixel_sample, sampling_offs, active))
+
+
+def estimate_one_direct(scene, types_present, p, sp, wo, n_index,
+                        pixel_sample, sampling_offs, active):
+    ps, sps, wos = _to_soa(p, sp, wo)
+    return vec.aos(estimate_one_direct_s(scene, types_present, ps, sps, wos,
+                                         n_index, pixel_sample,
+                                         sampling_offs, active))

@@ -1,4 +1,4 @@
-"""Unidirectional path tracer, wavefront form.
+"""Unidirectional path tracer, wavefront form (SoA core).
 
 Reference: src/integrators/pathtracer.cc:134-333 — per camera hit:
 emission + MIS direct lighting, then `path_samples` independent paths of
@@ -8,6 +8,9 @@ caustic (specular/glossy/filter) bounces; background contributes on caustic
 misses.  Specular camera-visible chains go through the same stochastic
 recursiveRaytrace as the direct integrator.
 
+TPU shape: all `path_samples` paths are batched into one
+(path_samples x N)-lane SoA wavefront, so each bounce costs one BSDF
+sample, one closest-hit kernel launch and one batched NEE (see common.py).
 QMC dimensions match the reference: path sample i uses
   offs = n_paths * pixel_sample + sampling_offs + i
   first bounce: s1 = RI_vdC(offs), s2 = scrHalton(2, offs)
@@ -21,14 +24,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from core_tpu.mathutils import dot, luminance, MIN_RAYDIST
+from core_tpu.mathutils import MIN_RAYDIST
 from core_tpu.types import Rays
+from core_tpu import vec
+from core_tpu.vec import (RaysS, dot3, where3, zeros3, luminance3, tile1,
+                          tile3, untile_sum3)
 from core_tpu import scene as scene_mod
 from core_tpu.sampling import qmc
 from core_tpu.materials import dispatch
-from core_tpu.materials.base import BSDF, gather_params, detach_sample
+from core_tpu.materials.base import BSDF, detach_sample
 from core_tpu.integrators import common
-from core_tpu.integrators import direct as direct_mod
 from core_tpu.backgrounds import eval_background
 
 
@@ -46,124 +51,137 @@ class PathOptions:
     ao_color: tuple = (1.0, 1.0, 1.0)
 
 
-def _one_path(scene, types_present, sp0, p0, wo0, offs, pixel_sample,
-              sampling_offs, active0, opts: PathOptions):
-    """Trace one indirect path from the camera hit; returns [N,3]."""
+def _eval_background_s(background, d3):
+    if background is None:
+        return zeros3(d3.x)
+    return vec.v3(eval_background(background, vec.aos(d3)))
+
+
+def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
+                   pixel_sample, sampling_offs, opts: PathOptions):
+    """All indirect paths as one (n_paths*N)-lane wavefront; returns V3 [N]
+    (already averaged over n_paths)."""
     trace_caustics = opts.caustic_type in ("path", "both")
-    path_col = jnp.zeros_like(wo0)
+    base = (np.uint32(n_paths) * pixel_sample.astype(jnp.uint32)
+            + sampling_offs)
+    N = base.shape[0]
+    # lane layout matches vec.tile*: path i occupies lanes [i*N, (i+1)*N)
+    offs = (jnp.arange(n_paths, dtype=jnp.uint32)[:, None]
+            + base[None, :]).reshape(-1)
 
-    # first bounce, sampled from diffuse-ish components only
-    s1 = qmc.ri_vdc(offs)
-    s2 = qmc.scr_halton(2, offs)
-    first_flags = BSDF.DIFFUSE | BSDF.REFLECT | BSDF.TRANSMIT
-    sres = detach_sample(dispatch.sample_bsdf(types_present, p0, sp0, wo0,
-                                              s1, s2, first_flags))
-    throughput = sres.col * sres.w[..., None]
-    rays = Rays(o=sp0.p, d=sres.wi,
-                tmin=jnp.full_like(s1, MIN_RAYDIST),
-                tmax=jnp.full_like(s1, -1.0))
-    hits = scene_mod.closest_hit(scene, rays, exclude_prim=sp0.prim)
-    active = active0 & hits.valid & (sres.pdf > 0.0)
+    sp = common._tile_sp(sp0, n_paths)
+    p = common._tile_params(p0, n_paths)
+    wo = tile3(wo0, n_paths)
+    active = tile1(active0, n_paths)
+    pixel_sample_b = tile1(pixel_sample, n_paths)
+    sampling_offs_b = tile1(sampling_offs, n_paths)
 
-    sp = scene_mod.surface_points(scene, rays, hits)
-    p = scene_mod.material_params(scene, sp)
-    wo = -rays.d
-    lcol = common.estimate_one_direct(scene, types_present, p, sp, wo, offs,
-                                      pixel_sample, sampling_offs, active)
-    emit_c = dispatch.emit(types_present, p)
-    has_emit = (p.flags & BSDF.EMIT) != 0
-    lcol = lcol + jnp.where(has_emit[..., None], emit_c, 0.0)
-    path_col = path_col + jnp.where(active[..., None], lcol * throughput, 0.0)
+    path_col = zeros3(offs)
+    throughput = None
 
-    for depth in range(1, opts.bounces):
-        d4 = 4 * depth
-        s1 = qmc.scr_halton(d4 + 3, offs)
-        s2 = qmc.scr_halton(d4 + 4, offs)
+    for depth in range(opts.bounces):
+        if depth == 0:
+            s1 = qmc.ri_vdc(offs)
+            s2 = qmc.scr_halton(2, offs)
+            flags = BSDF.DIFFUSE | BSDF.REFLECT | BSDF.TRANSMIT
+        else:
+            d4 = 4 * depth
+            s1 = qmc.scr_halton(d4 + 3, offs)
+            s2 = qmc.scr_halton(d4 + 4, offs)
+            flags = BSDF.ALL
         sres = detach_sample(
-            dispatch.sample_bsdf(types_present, p, sp, wo, s1, s2, BSDF.ALL))
-        scol = sres.col * sres.w[..., None]
-        alive = active & (luminance(scol) > 0.0)
-        throughput = throughput * scol
-        caustic = trace_caustics & True
-        caustic_mask = (sres.flags & (BSDF.SPECULAR | BSDF.GLOSSY
-                                      | BSDF.FILTER)) != 0
-        caustic_mask = caustic_mask if trace_caustics else jnp.zeros_like(alive)
+            dispatch.sample_bsdf_s(types_present, p, sp, wo, s1, s2, flags))
+        scol = sres.col * sres.w
+        if depth == 0:
+            throughput = scol
+            active = active & (sres.pdf > 0.0)
+            caustic_mask = jnp.zeros_like(active)
+        else:
+            alive = active & (luminance3(scol) > 0.0)
+            throughput = throughput * scol
+            caustic_mask = (sres.flags & (BSDF.SPECULAR | BSDF.GLOSSY
+                                          | BSDF.FILTER)) != 0
+            if not trace_caustics:
+                caustic_mask = jnp.zeros_like(alive)
+            active = alive
 
-        rays = Rays(o=sp.p, d=sres.wi,
-                    tmin=jnp.full_like(s1, MIN_RAYDIST),
-                    tmax=jnp.full_like(s1, -1.0))
-        hits = scene_mod.closest_hit(scene, rays, exclude_prim=sp.prim)
-        miss = alive & (~hits.valid)
-        if scene.background is not None:
-            bg = eval_background(scene.background, sres.wi)
-            path_col = path_col + jnp.where((miss & caustic_mask)[..., None],
-                                            throughput * bg, 0.0)
-        active = alive & hits.valid
+        rays = RaysS(o=sp.p, d=sres.wi,
+                     tmin=jnp.full_like(s1, MIN_RAYDIST),
+                     tmax=jnp.full_like(s1, -1.0))
+        hits = scene_mod.closest_hit_s(scene, rays, exclude_prim=sp.prim)
+        if depth > 0 and scene.background is not None:
+            miss = active & (~hits.valid)
+            bg = _eval_background_s(scene.background, sres.wi)
+            path_col = path_col + where3(miss & caustic_mask,
+                                         throughput * bg, 0.0)
+        active = active & hits.valid
 
-        sp = scene_mod.surface_points(scene, rays, hits)
-        p = scene_mod.material_params(scene, sp)
-        wo = -rays.d
+        sp = scene_mod.surface_points_s(scene, rays, hits)
+        p = scene_mod.material_params_s(scene, sp)
+        wo = -sres.wi
         has_diffuse = (p.flags & BSDF.DIFFUSE) != 0
-        lcol = common.estimate_one_direct(scene, types_present, p, sp, wo,
-                                          offs, pixel_sample, sampling_offs,
-                                          active & has_diffuse)
-        emit_c = dispatch.emit(types_present, p)
+        nee_active = active & has_diffuse if depth > 0 else active
+        lcol = common.estimate_one_direct_s(scene, types_present, p, sp, wo,
+                                            offs, pixel_sample_b,
+                                            sampling_offs_b, nee_active)
+        emit_c = dispatch.emit_ss(types_present, p)
         has_emit = (p.flags & BSDF.EMIT) != 0
-        lcol = lcol + jnp.where((has_emit & caustic_mask)[..., None], emit_c, 0.0)
-        path_col = path_col + jnp.where(active[..., None], lcol * throughput, 0.0)
-    return path_col
+        emit_mask = has_emit if depth == 0 else (has_emit & caustic_mask)
+        lcol = lcol + where3(emit_mask, emit_c, 0.0)
+        path_col = path_col + where3(active, lcol * throughput, 0.0)
+
+    return untile_sum3(path_col, n_paths) * (1.0 / float(n_paths))
 
 
 def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
               opts: PathOptions):
     """Full path-tracer integrate() for a camera wavefront -> rgba [N,4]."""
-    n = rays.o.shape[0]
-    hits = scene_mod.closest_hit(scene, rays)
+    rs = vec.rays_to_soa(rays)
+    hits = scene_mod.closest_hit_s(scene, rs)
     primary_valid = hits.valid
 
-    sp = scene_mod.surface_points(scene, rays, hits)
-    p = scene_mod.material_params(scene, sp)
-    wo = -rays.d
+    sp = scene_mod.surface_points_s(scene, rs, hits)
+    p = scene_mod.material_params_s(scene, sp)
+    wo = -rs.d
 
-    col = jnp.zeros_like(rays.d)
-    emit_c = dispatch.emit(types_present, p)
-    col = col + jnp.where(primary_valid[..., None], emit_c, 0.0)
+    emit_c = dispatch.emit_ss(types_present, p)
+    col = where3(primary_valid, emit_c, 0.0)
     has_diffuse = (p.flags & BSDF.DIFFUSE) != 0
-    col = col + common.estimate_all_direct(scene, types_present, p, sp, wo,
-                                           pixel_sample, sampling_offs,
-                                           primary_valid & has_diffuse)
+    col = col + common.estimate_all_direct_s(scene, types_present, p, sp, wo,
+                                             pixel_sample, sampling_offs,
+                                             primary_valid & has_diffuse)
 
-    # indirect paths
+    # indirect paths, batched
     n_paths = max(1, opts.path_samples)
-    base = np.uint32(n_paths) * pixel_sample.astype(jnp.uint32) + sampling_offs
-
-    def path_body(i, acc):
-        offs = base + i.astype(jnp.uint32)
-        return acc + _one_path(scene, types_present, sp, p, wo, offs,
-                               pixel_sample, sampling_offs,
-                               primary_valid & has_diffuse, opts)
-
-    path_col = jax.lax.fori_loop(0, n_paths, path_body, jnp.zeros_like(col))
-    col = col + path_col / float(n_paths)
+    col = col + _paths_batched(scene, types_present, sp, p, wo,
+                               primary_valid & has_diffuse, n_paths,
+                               pixel_sample.astype(jnp.uint32),
+                               sampling_offs, opts)
 
     # background on primary miss
-    bg = eval_background(scene.background, rays.d)
-    col = jnp.where(primary_valid[..., None], col, bg)
+    bg = _eval_background_s(scene.background, rs.d)
+    col = where3(primary_valid, col, bg)
     alpha = jnp.where(primary_valid, 1.0,
                       0.0 if opts.transp_background else 1.0)
 
     # camera-visible specular chains: same machinery as the direct integrator
     if scene.has_specular and opts.raydepth > 0:
+        from core_tpu.integrators import direct as direct_mod
         dopts = direct_mod.DirectOptions(raydepth=opts.raydepth)
-        col = col + _specular_chains(scene, types_present, rays, hits, sp, p,
-                                     pixel_sample, sampling_offs, opts, dopts)
-    return jnp.concatenate([col, alpha[..., None]], axis=-1)
+        sp_a = vec.sp_to_aos(sp)
+        p_a = dispatch._params_to_aos(p)
+        spec = _specular_chains(scene, types_present, rays, hits, sp_a, p_a,
+                                pixel_sample, sampling_offs, opts, dopts)
+        col = col + vec.v3(spec)
+    return jnp.stack([col.x, col.y, col.z, alpha], axis=-1)
 
 
 def _specular_chains(scene, types_present, rays, hits, sp, p, pixel_sample,
                      sampling_offs, opts: PathOptions, dopts):
     """Stochastic single-branch specular recursion; each specular hit is
-    shaded with full path-traced lighting minus double-counted emission."""
+    shaded with full path-traced lighting minus double-counted emission.
+    (AoS legacy path — runs only for scenes with specular materials.)"""
+    from core_tpu.mathutils import luminance
     n = rays.o.shape[0]
     col = jnp.zeros(rays.d.shape, jnp.float32)
     throughput = jnp.ones_like(col)
@@ -191,7 +209,8 @@ def _specular_chains(scene, types_present, rays, hits, sp, p, pixel_sample,
                      tmin=jnp.full(n, MIN_RAYDIST), tmax=jnp.full(n, -1.0))
         nhits = scene_mod.closest_hit(scene, nrays, exclude_prim=exclude)
         hit_ok = nhits.valid & cont
-        bg2 = eval_background(scene.background, branch_dir)
+        bg2 = eval_background(scene.background, branch_dir) \
+            if scene.background is not None else jnp.zeros_like(branch_dir)
         col = col + jnp.where((cont & ~nhits.valid)[..., None],
                               throughput * bg2, 0.0)
 

@@ -104,6 +104,59 @@ def intersect_light(light: AreaLight, rays) -> LightHit:
     return LightHit(valid=valid, t=jnp.where(valid, t, -1.0), col=col, ipdf=ipdf)
 
 
+def illum_sample_s(light: AreaLight, sp, s1, s2):
+    """SoA illum_sample (see vec.py): sp is a vec.SPS, returns LightSampleS."""
+    from core_tpu.vec import V3, dot3, splat3
+    from core_tpu.lights.base import LightSampleS
+    c = light.corner
+    tx = light.to_x
+    ty = light.to_y
+    p = V3(c[0] + s1 * tx[0] + s2 * ty[0],
+           c[1] + s1 * tx[1] + s2 * ty[1],
+           c[2] + s1 * tx[2] + s2 * ty[2])
+    ldir = p - sp.p
+    dist2 = dot3(ldir, ldir)
+    dist = jnp.sqrt(dist2)
+    wi = ldir * (1.0 / jnp.maximum(dist, 1e-12))
+    fn = splat3(light.fnormal)
+    cos_angle = dot3(wi, fn)
+    valid = (dist > 0.0) & (cos_angle > 0.0)
+    pdf = dist2 * np.pi / jnp.maximum(light.area * cos_angle, 1e-12)
+    col = splat3(light.color, like=dist)
+    return LightSampleS(valid=valid, wi=wi, dist=dist, col=col, pdf=pdf)
+
+
+def intersect_light_s(light: AreaLight, rays):
+    """SoA ray-parallelogram intersection (arealight.cc:139-155)."""
+    from core_tpu.vec import V3, dot3, splat3
+    from core_tpu.lights.base import LightHitS
+    fn = splat3(light.fnormal)
+    cos_angle = dot3(rays.d, fn)
+    denom = jnp.where(jnp.abs(cos_angle) < 1e-12, 1e-12, cos_angle)
+    corner = splat3(light.corner)
+    t = dot3(corner - rays.o, fn) / denom
+    p = rays.o + rays.d * t
+    rel = p - corner
+    txv = splat3(light.to_x)
+    tyv = splat3(light.to_y)
+    xx = jnp.sum(light.to_x * light.to_x)
+    yy = jnp.sum(light.to_y * light.to_y)
+    xy = jnp.sum(light.to_x * light.to_y)
+    rx = dot3(rel, txv)
+    ry = dot3(rel, tyv)
+    det = xx * yy - xy * xy
+    a = (rx * yy - ry * xy) / jnp.maximum(det, 1e-20)
+    b = (ry * xx - rx * xy) / jnp.maximum(det, 1e-20)
+    inside = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+    valid = (cos_angle > 0.0) & inside & (t > 1e-10)
+    ipdf = jnp.where(valid,
+                     light.area * cos_angle / jnp.maximum(t * t, 1e-20) / np.pi,
+                     0.0)
+    col = splat3(light.color, like=t)
+    return LightHitS(valid=valid, t=jnp.where(valid, t, -1.0), col=col,
+                     ipdf=ipdf)
+
+
 def illum_pdf(light: AreaLight, sp, p_light):
     wi = p_light - sp.p
     r2 = jnp.sum(wi * wi, axis=-1)

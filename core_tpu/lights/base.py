@@ -70,6 +70,53 @@ def n_samples(light) -> int:
     return _mod(light).get_n_samples(light)
 
 
+class LightSampleS(NamedTuple):
+    """SoA light sample (see vec.py): wi/col are V3 of [N]."""
+    valid: jnp.ndarray
+    wi: "V3"
+    dist: jnp.ndarray
+    col: "V3"
+    pdf: jnp.ndarray
+
+
+class LightHitS(NamedTuple):
+    valid: jnp.ndarray
+    t: jnp.ndarray
+    col: "V3"
+    ipdf: jnp.ndarray
+
+
+def illum_sample_s(light, sps, s1, s2) -> LightSampleS:
+    """SoA illum_sample; falls back to the light module's AoS impl through
+    a layout conversion when no native SoA version exists."""
+    m = _mod(light)
+    if hasattr(m, "illum_sample_s"):
+        return m.illum_sample_s(light, sps, s1, s2)
+    from core_tpu.vec import sp_to_aos, v3
+    ls = m.illum_sample(light, sp_to_aos(sps), s1, s2)
+    return LightSampleS(valid=ls.valid, wi=v3(ls.wi), dist=ls.dist,
+                        col=v3(ls.col), pdf=ls.pdf)
+
+
+def illuminate_s(light, sps) -> LightSampleS:
+    m = _mod(light)
+    if hasattr(m, "illuminate_s"):
+        return m.illuminate_s(light, sps)
+    from core_tpu.vec import sp_to_aos, v3
+    ls = m.illuminate(light, sp_to_aos(sps))
+    return LightSampleS(valid=ls.valid, wi=v3(ls.wi), dist=ls.dist,
+                        col=v3(ls.col), pdf=ls.pdf)
+
+
+def intersect_light_s(light, rays_s) -> LightHitS:
+    m = _mod(light)
+    if hasattr(m, "intersect_light_s"):
+        return m.intersect_light_s(light, rays_s)
+    from core_tpu.vec import rays_to_aos, v3
+    lh = m.intersect_light(light, rays_to_aos(rays_s))
+    return LightHitS(valid=lh.valid, t=lh.t, col=v3(lh.col), ipdf=lh.ipdf)
+
+
 def illum_sample(light, sp, s1, s2) -> LightSample:
     return _mod(light).illum_sample(light, sp, s1, s2)
 

@@ -195,6 +195,96 @@ def gather_params(table: MaterialTable, mat_idx) -> MaterialTable:
     return MaterialTable(*[leaf[idx] for leaf in table])
 
 
+class MatParamsS(NamedTuple):
+    """Per-hit material parameters in SoA layout (colors as V3 of [N],
+    strengths as separate [N] columns) — the TPU-efficient form of a
+    gathered MaterialTable row block (see vec.py for why)."""
+    mtype: jnp.ndarray
+    flags: jnp.ndarray
+    c_mirror: jnp.ndarray
+    c_transp: jnp.ndarray
+    c_transl: jnp.ndarray
+    c_diff: jnp.ndarray
+    emit_strength: jnp.ndarray
+    transmit_filter: jnp.ndarray
+    ior: jnp.ndarray
+    fresnel: jnp.ndarray
+    on_a: jnp.ndarray
+    on_b: jnp.ndarray
+    diffuse_color: "V3"
+    mirror_color: "V3"
+    glossy_color: "V3"
+    filter_color: "V3"
+    absorption: "V3"
+    glossy_reflect: jnp.ndarray
+    exp_u: jnp.ndarray
+    exp_v: jnp.ndarray
+    as_diffuse: jnp.ndarray
+    dispersion: jnp.ndarray
+    alpha_rough: jnp.ndarray
+
+
+def params_to_soa(p: MaterialTable) -> MatParamsS:
+    """Gathered [N,...] MaterialTable rows -> SoA params (slice boundary)."""
+    from core_tpu.vec import v3
+    return MatParamsS(
+        mtype=p.mtype, flags=p.flags,
+        c_mirror=p.strengths[..., 0], c_transp=p.strengths[..., 1],
+        c_transl=p.strengths[..., 2], c_diff=p.strengths[..., 3],
+        emit_strength=p.emit_strength, transmit_filter=p.transmit_filter,
+        ior=p.ior, fresnel=p.fresnel,
+        on_a=p.oren_nayar[..., 0], on_b=p.oren_nayar[..., 1],
+        diffuse_color=v3(p.diffuse_color), mirror_color=v3(p.mirror_color),
+        glossy_color=v3(p.glossy_color), filter_color=v3(p.filter_color),
+        absorption=v3(p.absorption), glossy_reflect=p.glossy_reflect,
+        exp_u=p.exponent[..., 0], exp_v=p.exponent[..., 1],
+        as_diffuse=p.as_diffuse, dispersion=p.dispersion,
+        alpha_rough=p.alpha_rough)
+
+
+def gather_params_s(table: MaterialTable, mat_idx) -> MatParamsS:
+    """SoA per-hit rows via a one-hot matmul decode (see scene.onehot_decode
+    for why: TPU dynamic gathers are scalar-unit bound; the matmul is exact
+    for 0/1 one-hots and its backward is a matmul, not a scatter)."""
+    from core_tpu.vec import V3
+    from core_tpu.scene import onehot_decode
+    m = table.mtype.shape[0]
+    idx = jnp.clip(mat_idx, 0, m - 1)
+    f = jnp.float32
+    cols = [table.mtype.astype(f), table.flags.astype(f),
+            table.strengths[:, 0], table.strengths[:, 1],
+            table.strengths[:, 2], table.strengths[:, 3],
+            table.emit_strength, table.transmit_filter, table.ior,
+            table.fresnel.astype(f),
+            table.oren_nayar[:, 0], table.oren_nayar[:, 1],
+            table.diffuse_color[:, 0], table.diffuse_color[:, 1],
+            table.diffuse_color[:, 2],
+            table.mirror_color[:, 0], table.mirror_color[:, 1],
+            table.mirror_color[:, 2],
+            table.glossy_color[:, 0], table.glossy_color[:, 1],
+            table.glossy_color[:, 2],
+            table.filter_color[:, 0], table.filter_color[:, 1],
+            table.filter_color[:, 2],
+            table.absorption[:, 0], table.absorption[:, 1],
+            table.absorption[:, 2],
+            table.glossy_reflect, table.exponent[:, 0], table.exponent[:, 1],
+            table.as_diffuse.astype(f), table.dispersion, table.alpha_rough]
+    rows = onehot_decode(jnp.stack(cols, axis=0), idx, m)
+    return MatParamsS(
+        mtype=rows[0].astype(jnp.int32), flags=rows[1].astype(jnp.int32),
+        c_mirror=rows[2], c_transp=rows[3], c_transl=rows[4], c_diff=rows[5],
+        emit_strength=rows[6], transmit_filter=rows[7], ior=rows[8],
+        fresnel=rows[9] > 0.5, on_a=rows[10], on_b=rows[11],
+        diffuse_color=V3(rows[12], rows[13], rows[14]),
+        mirror_color=V3(rows[15], rows[16], rows[17]),
+        glossy_color=V3(rows[18], rows[19], rows[20]),
+        filter_color=V3(rows[21], rows[22], rows[23]),
+        absorption=V3(rows[24], rows[25], rows[26]),
+        glossy_reflect=rows[27], exp_u=rows[28], exp_v=rows[29],
+        as_diffuse=rows[30] > 0.5, dispersion=rows[31],
+        alpha_rough=rows[32])
+
+
 def detach_sample(sres):
     """Detached-sampling gradient estimator: the sampled direction, its pdf
     and the 1/pdf throughput factor are constants w.r.t. scene parameters;

@@ -120,3 +120,133 @@ def transparency(types_present, p: MaterialTable, sp, wo):
         mask = _mask_for(p, m, types_present)
         out = jnp.where(mask[..., None], m.transparency(p, sp, wo), out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SoA dispatch (vec.py layout).  Families with native `*_s` implementations
+# run SoA; others fall back through a layout conversion.
+# ---------------------------------------------------------------------------
+
+def _params_to_aos(p):
+    """MatParamsS -> gathered MaterialTable rows (fallback path only).
+    blend/mask/texture columns are already resolved upstream, so they are
+    filled with inert values."""
+    from core_tpu.vec import aos
+    n = p.mtype.shape
+    i32 = lambda v: jnp.full(n + (2,), v, jnp.int32)
+    return MaterialTable(
+        mtype=p.mtype,
+        diffuse_color=aos(p.diffuse_color), mirror_color=aos(p.mirror_color),
+        strengths=jnp.stack([p.c_mirror, p.c_transp, p.c_transl, p.c_diff],
+                            axis=-1),
+        emit_strength=p.emit_strength, transmit_filter=p.transmit_filter,
+        ior=p.ior, fresnel=p.fresnel,
+        oren_nayar=jnp.stack([p.on_a, p.on_b], axis=-1),
+        glossy_color=aos(p.glossy_color), glossy_reflect=p.glossy_reflect,
+        exponent=jnp.stack([p.exp_u, p.exp_v], axis=-1),
+        as_diffuse=p.as_diffuse, filter_color=aos(p.filter_color),
+        absorption=aos(p.absorption), dispersion=p.dispersion,
+        alpha_rough=p.alpha_rough, sub_mat=i32(-1),
+        blend_val=jnp.zeros(n, jnp.float32), flags=p.flags,
+        diffuse_tex=jnp.full(n, -1, jnp.int32),
+        blend_tex=jnp.full(n, -1, jnp.int32))
+
+
+def _call_family_s(m, fname, p, sps, *args):
+    """Call family m's SoA function, or fall back to AoS via conversion."""
+    from core_tpu import vec
+    f = getattr(m, fname + "_s", None)
+    if f is not None:
+        return f(p, sps, *args)
+    # fallback: convert SoA -> AoS, call, convert back
+    from core_tpu.materials.shinydiffuse import (SampleResultS, SpecularResultS)
+    pa = _params_to_aos(p)
+    spa = vec.sp_to_aos(sps)
+
+    def cv(a):
+        return vec.aos(a) if isinstance(a, vec.V3) else a
+
+    r = getattr(m, fname)(pa, spa, *[cv(a) for a in args])
+    if isinstance(r, SampleResult):
+        return SampleResultS(wi=vec.v3(r.wi), col=vec.v3(r.col), pdf=r.pdf,
+                             flags=r.flags, w=r.w)
+    if isinstance(r, SpecularResult):
+        return SpecularResultS(r.refl_valid, vec.v3(r.refl_dir),
+                               vec.v3(r.refl_col), r.refr_valid,
+                               vec.v3(r.refr_dir), vec.v3(r.refr_col))
+    if isinstance(r, jnp.ndarray) and r.ndim and r.shape[-1] == 3:
+        return vec.v3(r)
+    return r
+
+
+def _where_mask_s(mask, a, b):
+    from core_tpu.vec import V3, where3
+    if isinstance(a, V3):
+        return where3(mask, a, b)
+    if hasattr(a, "_fields"):
+        return type(a)(*[_where_mask_s(mask, x, y) for x, y in zip(a, b)])
+    return jnp.where(mask, a, b)
+
+
+def eval_bsdf_s(types_present, p, sps, wo, wi, req_flags: int = BSDF.ALL):
+    from core_tpu.vec import zeros3
+    mods = _modules(types_present)
+    out = zeros3(p.mtype)
+    for t, m in mods:
+        mask = _mask_for(p, m, types_present)
+        out = _where_mask_s(mask, _call_family_s(m, "eval_bsdf", p, sps, wo,
+                                                 wi, req_flags), out)
+    return out
+
+
+def sample_bsdf_s(types_present, p, sps, wo, s1, s2,
+                  req_flags: int = BSDF.ALL):
+    mods = _modules(types_present)
+    out = None
+    for t, m in mods:
+        r = _call_family_s(m, "sample_bsdf", p, sps, wo, s1, s2, req_flags)
+        if out is None:
+            out = r
+        else:
+            mask = _mask_for(p, m, types_present)
+            out = _where_mask_s(mask, r, out)
+    return out
+
+
+def pdf_bsdf_s(types_present, p, sps, wo, wi, req_flags: int = BSDF.ALL):
+    mods = _modules(types_present)
+    out = jnp.zeros(p.mtype.shape, jnp.float32)
+    for t, m in mods:
+        mask = _mask_for(p, m, types_present)
+        out = jnp.where(mask, _call_family_s(m, "pdf_bsdf", p, sps, wo, wi,
+                                             req_flags), out)
+    return out
+
+
+def get_specular_s(types_present, p, sps, wo):
+    mods = _modules(types_present)
+    out = None
+    for t, m in mods:
+        r = _call_family_s(m, "get_specular", p, sps, wo)
+        if out is None:
+            out = r
+        else:
+            mask = _mask_for(p, m, types_present)
+            out = _where_mask_s(mask, r, out)
+    return out
+
+
+def emit_ss(types_present, p):
+    # every family shares the emit convention (emit_strength * diffuse_color)
+    return shinydiffuse.emit_s(p)
+
+
+def transparency_ss(types_present, p, sps, wo):
+    from core_tpu.vec import zeros3
+    mods = _modules(types_present)
+    out = zeros3(p.mtype)
+    for t, m in mods:
+        mask = _mask_for(p, m, types_present)
+        out = _where_mask_s(mask, _call_family_s(m, "transparency", p, sps,
+                                                 wo), out)
+    return out

@@ -66,6 +66,14 @@ def _pixel_grid(h, w, spp, y0=0):
     return xs.reshape(-1), (ys + y0).reshape(-1), ss.reshape(-1)
 
 
+def _pixel_grid_raster(h, w, spp):
+    """(s, y, x)-ordered full-raster grid for the dense film splat path."""
+    ss, ys, xs = jnp.meshgrid(jnp.arange(spp, dtype=jnp.int32),
+                              jnp.arange(h, dtype=jnp.int32),
+                              jnp.arange(w, dtype=jnp.int32), indexing="ij")
+    return xs.reshape(-1), ys.reshape(-1), ss.reshape(-1)
+
+
 def _integrator_fn(opts: RenderOptions):
     if opts.integrator == "directlight":
         return direct_mod.integrate
@@ -99,7 +107,11 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     """
     cam = scene.camera
     h, w = cam.resy, cam.resx
-    x, y, s = _pixel_grid(rows if rows is not None else h, w, spp, y0=y0)
+    grid_fast = isinstance(y0, int) and y0 == 0 and (rows is None or rows == h)
+    if grid_fast:
+        x, y, s = _pixel_grid_raster(h, w, spp)
+    else:
+        x, y, s = _pixel_grid(rows if rows is not None else h, w, spp, y0=y0)
     s = s + sample0
     pix_i = y.astype(jnp.uint32)
     pix_j = x.astype(jnp.uint32)
@@ -154,11 +166,20 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     rgba = rgba * wt[..., None]
 
     mask = wt > 0.0
+    filterw = film_mod.effective_filterw(opts.filter_size, opts.filter_type)
+    if grid_fast:
+        if resample_mask is not None:
+            mask = mask & jnp.broadcast_to(resample_mask,
+                                           (spp, h, w)).reshape(-1)
+        return film_mod.add_samples_grid(
+            film, dx, dy, rgba, spp, filterw=filterw,
+            ftype=opts.filter_type, sample_mask=mask,
+            clamp_rgb=opts.clamp_rgb)
     if resample_mask is not None:
         mask = mask & resample_mask[y, x]
     return film_mod.add_samples(
         film, x, y, dx, dy, rgba,
-        filterw=film_mod.effective_filterw(opts.filter_size, opts.filter_type),
+        filterw=filterw,
         ftype=opts.filter_type, sample_mask=mask, clamp_rgb=opts.clamp_rgb)
 
 

@@ -103,6 +103,139 @@ def any_hit(scene: Scene, rays: Rays, exclude_prim=None, exclude_prim2=None):
                                exclude_prim2=exclude_prim2)
 
 
+def closest_hit_s(scene: Scene, rays_s, exclude_prim=None) -> Hits:
+    """SoA closest hit (vec.RaysS in, Hits out — Hits is layout-neutral)."""
+    rays_s = jax.tree_util.tree_map(jax.lax.stop_gradient, rays_s)
+    if scene.accel is None and scene.intersector == "pallas":
+        from core_tpu.geometry.pallas_intersect import closest_hit_pallas_s
+        return closest_hit_pallas_s(scene.geom, rays_s,
+                                    exclude_prim=exclude_prim)
+    from core_tpu.vec import rays_to_aos
+    return closest_hit(scene, rays_to_aos(rays_s), exclude_prim=exclude_prim)
+
+
+def any_hit_s(scene: Scene, rays_s, exclude_prim=None, exclude_prim2=None):
+    rays_s = jax.tree_util.tree_map(jax.lax.stop_gradient, rays_s)
+    if scene.accel is None and scene.intersector == "pallas":
+        from core_tpu.geometry.pallas_intersect import any_hit_pallas_s
+        return any_hit_pallas_s(scene.geom, rays_s, exclude_prim=exclude_prim,
+                                exclude_prim2=exclude_prim2)
+    from core_tpu.vec import rays_to_aos
+    return any_hit(scene, rays_to_aos(rays_s), exclude_prim=exclude_prim,
+                   exclude_prim2=exclude_prim2)
+
+
+# one-hot row decode: tables this small are read with an MXU matmul instead
+# of a dynamic gather (TPU gathers run ~1 element/cycle on the scalar unit —
+# profiled at ~5 ms per 512k-lane gather vs ~50 us for the matmul decode).
+DECODE_MAX_ROWS = 2048
+
+
+def onehot_decode(table_kt, idx, n_rows: int):
+    """table_kt: [K, T] f32 columns; idx: [N] i32 -> [K, N] f32 decoded rows.
+
+    Exact: one-hot entries are 0/1 so the f32 matmul reproduces table values
+    bit-exactly.  Backward is the transposed matmul (MXU), not a scatter."""
+    io = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n_rows), 1)
+    oh = (io == idx[:, None]).astype(jnp.float32)            # [N, T]
+    # HIGHEST: true-f32 passes; DEFAULT would round table values to bf16
+    return jax.lax.dot_general(table_kt, oh, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def surface_points_s(scene: Scene, rays_s, hits: Hits):
+    """SoA surface points (see vec.py).  For small scenes all per-triangle
+    attributes are fetched with one one-hot matmul decode; larger scenes fall
+    back to dynamic gathers."""
+    from core_tpu.vec import V3, SPS, normalize3, cross3, where3, create_cs3
+    g = scene.geom
+    prim = jnp.clip(hits.prim, 0, g.n_tris - 1)
+    t = jnp.where(hits.prim >= 0, hits.t, 0.0)
+    p = rays_s.o + rays_s.d * t
+    u = hits.u
+    v = hits.v
+    w0 = 1.0 - u - v
+
+    if g.n_tris <= DECODE_MAX_ROWS:
+        # per-triangle attribute matrix [K, T]: corner positions, corner
+        # normals, uvs, smooth flag, mat/light/obj ids (ids are small ints,
+        # exact in f32)
+        va = g.verts[g.tri_vidx[:, 0]]        # [T,3] tiny gathers
+        vb = g.verts[g.tri_vidx[:, 1]]
+        vc = g.verts[g.tri_vidx[:, 2]]
+        cols = [va[:, 0], va[:, 1], va[:, 2],
+                vb[:, 0], vb[:, 1], vb[:, 2],
+                vc[:, 0], vc[:, 1], vc[:, 2]]
+        cols += [g.corner_n[:, k, c] for k in range(3) for c in range(3)]
+        cols += [g.uvs[:, k, c] for k in range(3) for c in range(2)]
+        cols += [g.smooth.astype(jnp.float32),
+                 g.tri_mat.astype(jnp.float32),
+                 g.tri_light.astype(jnp.float32),
+                 g.tri_obj.astype(jnp.float32)]
+        table = jnp.stack(cols, axis=0)                       # [K, T]
+        rows = onehot_decode(table, prim, g.n_tris)           # [K, N]
+        a = V3(rows[0], rows[1], rows[2])
+        b = V3(rows[3], rows[4], rows[5])
+        c = V3(rows[6], rows[7], rows[8])
+        cn0 = V3(rows[9], rows[10], rows[11])
+        cn1 = V3(rows[12], rows[13], rows[14])
+        cn2 = V3(rows[15], rows[16], rows[17])
+        uu = rows[18] * w0 + rows[20] * u + rows[22] * v
+        vv = rows[19] * w0 + rows[21] * u + rows[23] * v
+        smooth = rows[24] > 0.5
+        mat = rows[25].astype(jnp.int32)
+        light = rows[26].astype(jnp.int32)
+        obj = rows[27].astype(jnp.int32)
+    else:
+        def vert(vi):
+            return V3(g.verts[:, 0][vi], g.verts[:, 1][vi], g.verts[:, 2][vi])
+
+        a = vert(g.tri_vidx[:, 0][prim])
+        b = vert(g.tri_vidx[:, 1][prim])
+        c = vert(g.tri_vidx[:, 2][prim])
+
+        def corner_n(k):
+            return V3(g.corner_n[:, k, 0][prim], g.corner_n[:, k, 1][prim],
+                      g.corner_n[:, k, 2][prim])
+
+        cn0, cn1, cn2 = corner_n(0), corner_n(1), corner_n(2)
+        uu = g.uvs[:, 0, 0][prim] * w0 + g.uvs[:, 1, 0][prim] * u \
+            + g.uvs[:, 2, 0][prim] * v
+        vv = g.uvs[:, 0, 1][prim] * w0 + g.uvs[:, 1, 1][prim] * u \
+            + g.uvs[:, 2, 1][prim] * v
+        smooth = g.smooth[prim]
+        mat = g.tri_mat[prim]
+        light = g.tri_light[prim]
+        obj = g.tri_obj[prim]
+
+    ng = normalize3(cross3(b - a, c - a))
+    n_smooth = normalize3(cn0 * w0 + cn1 * u + cn2 * v)
+    n = where3(smooth, n_smooth, ng)
+    nu, nv = create_cs3(n)
+    return SPS(p=p, n=n, ng=ng, nu=nu, nv=nv, u=uu, v=vv,
+               mat=mat, light=light, prim=prim, obj=obj)
+
+
+def material_params_s(scene: Scene, sps):
+    """SoA material rows.  Scenes with blend/mask composites or textures go
+    through the AoS resolver (material_params) then convert; plain scenes
+    use dense per-column gathers."""
+    from core_tpu.materials.base import (gather_params_s, params_to_soa,
+                                         MatType)
+    table_types = set(scene.mat_types)
+    if not table_types:
+        import numpy as np_
+        table_types = set(np_.asarray(scene.materials.mtype).tolist())
+    needs_aos = (int(MatType.BLEND) in table_types
+                 or int(MatType.MASK) in table_types
+                 or scene.textures is not None)
+    if needs_aos:
+        from core_tpu.vec import sp_to_aos
+        return params_to_soa(material_params(scene, sp_to_aos(sps)))
+    return gather_params_s(scene.materials, sps.mat)
+
+
 def material_params(scene: Scene, sp: SurfacePoints):
     """Per-hit material rows with texture maps applied (the reference's
     shader-node substitution in initBSDF, e.g. glossy2.cc:88-96: a mapped
