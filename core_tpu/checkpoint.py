@@ -1,0 +1,44 @@
+"""Render checkpoint / resume.
+
+The reference has no checkpointing (SURVEY §5); its natural checkpoint
+boundary is the film between AA passes (imagefilm.cc:213-286 re-enters
+accumulated weights) plus the pass/sample counters that fully determine the
+QMC stream.  We serialize exactly that state — film buffers, pass index,
+sample offset — so an interrupted progressive render resumes bit-exactly
+(QMC sample indices are pure functions of (pixel, pass_offs + s)).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from core_tpu.film import Film
+
+MAGIC = "core_tpu_checkpoint_v1"
+
+
+def save_checkpoint(path: str, film: Film, pass_idx: int, sample_offs: int,
+                    meta: dict | None = None):
+    """Atomic write of film + progress counters (npz + json header)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, magic=MAGIC,
+                 rgba=np.asarray(film.rgba), weight=np.asarray(film.weight),
+                 pass_idx=pass_idx, sample_offs=sample_offs,
+                 meta=json.dumps(meta or {}))
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str):
+    """Returns (film, pass_idx, sample_offs, meta) or None if absent."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        assert str(z["magic"]) == MAGIC, "not a core_tpu checkpoint"
+        film = Film(rgba=jnp.asarray(z["rgba"]),
+                    weight=jnp.asarray(z["weight"]))
+        return (film, int(z["pass_idx"]), int(z["sample_offs"]),
+                json.loads(str(z["meta"])))

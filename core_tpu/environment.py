@@ -205,13 +205,32 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
             no_recursive=ip.get_bool("no_recursive", False),
             caustic_type=ip.get_str("caustic_type", "path"),
             **common_ao)
+    elif itype == "bidirectional":
+        from core_tpu.integrators.bidir import BidirOptions
+        integrator = "bidirectional"
+        iopts = BidirOptions(
+            eye_depth=min(raydepth, 6), light_depth=min(raydepth, 6),
+            transp_background=rp.get_bool("bg_transp", False))
+    elif itype == "DebugIntegrator":
+        from core_tpu.integrators.debug import DebugOptions
+        integrator = "debug"
+        dbg = {1: "N", 2: "dPdU", 3: "dPdV", 4: "NU", 5: "NV"}
+        iopts = DebugOptions(
+            debug_type=dbg.get(ip.get_int("debugType", 1), "N"),
+            show_pn=ip.get_bool("showPN", False))
     else:
         if itype not in ("directlighting",):
             import warnings
             warnings.warn(f"integrator '{itype}' not yet TPU-native; "
                           "falling back to directlighting")
         integrator = "directlight"
-        iopts = DirectOptions(raydepth=raydepth, **common_ao)
+        iopts = DirectOptions(
+            raydepth=raydepth,
+            use_sss=ip.get_bool("useSSS", False),
+            sss_photons=ip.get_int("sssPhotons", 8192),
+            sss_steps=ip.get_int("sssDepth", 4),
+            sss_scale=ip.get_float("sssScale", 1.0),
+            **common_ao)
 
     vtype = (vp or ParamMap()).get_str("type", "none")
     vmap = {"EmissionIntegrator": "emission",
@@ -347,17 +366,21 @@ def _mat_light(b: SceneBuilder, name, p: ParamMap, extra):
 
 @register("material", "translucent")
 def _mat_translucent(b: SceneBuilder, name, p: ParamMap, extra):
-    # SSS medium params consumed by the (future) SSS integrator; surface
-    # part approximated by glossy+diffuse for now
+    # TheBounty SSS material (src/materials/translucent.cc): glossy+diffuse
+    # surface; sigmaA/sigmaS/g medium params drive the dipole photon maps
+    # (integrators/sss.py) when the integrator enables useSSS.
     d = MaterialDef(
-        mtype=MatType.GLOSSY,
+        mtype=MatType.TRANSLUCENT,
         diffuse_color=p.get_color("color", (1.0, 1.0, 1.0)),
         glossy_color=p.get_color("glossy_color", (1.0, 1.0, 1.0)),
         glossy_reflect=p.get_float("glossy_reflect", 0.2),
         diffuse_strength=p.get_float("diffuse_reflect", 1.0),
         exp_u=p.get_float("exponent", 50.0),
         exp_v=p.get_float("exponent", 50.0),
-        ior=p.get_float("IOR", 1.3))
+        ior=p.get_float("IOR", 1.3),
+        absorption=p.get_color("sigmaA", (0.01, 0.01, 0.01)),
+        sigma_s=p.get_color("sigmaS", (1.0, 1.0, 1.0)),
+        sss_g=p.get_float("g", 0.0))
     return b.add_material(name, d)
 
 

@@ -38,10 +38,15 @@ class DirectOptions:
     ao_dist: float = 1.0
     ao_color: tuple = (1.0, 1.0, 1.0)
     transp_background: bool = False
+    # TheBounty SSS (mcintegrator.cc useSSS / sss_maps wiring)
+    use_sss: bool = False
+    sss_photons: int = 8192
+    sss_steps: int = 4
+    sss_scale: float = 1.0
 
 
 def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
-               include_lights, opts: DirectOptions):
+               include_lights, opts: DirectOptions, aux=None):
     """Emission + direct lighting at given hits; returns (col, sp, p)."""
     sp = scene_mod.surface_points(scene, rays, hits)
     p = scene_mod.material_params(scene, sp)
@@ -56,6 +61,10 @@ def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
     if opts.use_ao:
         col = col + _ambient_occlusion(scene, types_present, p, sp, wo,
                                        pixel_sample, sampling_offs, active, opts)
+    if opts.use_sss and aux is not None:
+        from core_tpu.integrators import sss as sss_mod
+        col = col + opts.sss_scale * sss_mod.estimate_sss(aux, sp, p, wo,
+                                                          active)
     return col, sp, p
 
 
@@ -84,15 +93,15 @@ def _ambient_occlusion(scene, types_present, p, sp, wo, pixel_sample,
 
 
 def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
-              opts: DirectOptions):
+              opts: DirectOptions, aux=None):
     """Full directlight integrate() for a camera-ray wavefront.
-    Returns rgba [N,4]."""
+    Returns rgba [N,4].  aux: SSS photon map when opts.use_sss."""
     n = rays.o.shape[0]
     hits = scene_mod.closest_hit(scene, rays)
     primary_valid = hits.valid
 
     col, sp, p = _shade_hit(scene, types_present, rays, hits, pixel_sample,
-                            sampling_offs, jnp.ones(n, bool), opts)
+                            sampling_offs, jnp.ones(n, bool), opts, aux=aux)
     bg = eval_background(scene.background, rays.d)
     col = jnp.where(primary_valid[..., None], col, bg)
     alpha = jnp.where(primary_valid, 1.0,
@@ -132,7 +141,7 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
                               throughput_new * bg2, 0.0)
         scol, nsp, np_ = _shade_hit(scene, types_present, nrays, nhits,
                                     pixel_sample, sampling_offs,
-                                    jnp.ones(n, bool), opts)
+                                    jnp.ones(n, bool), opts, aux=aux)
         col = col + jnp.where(hit_ok[..., None], throughput_new * scol, 0.0)
         throughput = throughput_new
         cur_sp, cur_p = nsp, np_

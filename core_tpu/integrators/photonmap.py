@@ -47,6 +47,16 @@ def scene_bound(scene):
     return v.min(axis=0), v.max(axis=0)
 
 
+def scene_center_radius(scene):
+    """World bounding sphere, jit-traceable (for photon emission from
+    sun/directional/background lights)."""
+    v = scene.geom.verts
+    bmin = jnp.min(v, axis=0)
+    bmax = jnp.max(v, axis=0)
+    return 0.5 * (bmin + bmax), 0.5 * jnp.sqrt(
+        jnp.sum((bmax - bmin) ** 2))
+
+
 def preprocess(scene, types_present, opts: PhotonOptions):
     """Shoot both photon maps (photonintegr.cc preprocess)."""
     bmin, bmax = scene_bound(scene)

@@ -72,6 +72,8 @@ class MaterialTable(NamedTuple):
     flags: jnp.ndarray           # [M] i32 BSDF flags
     diffuse_tex: jnp.ndarray     # [M] i32 texture id for diffuse color (-1 none)
     blend_tex: jnp.ndarray       # [M] i32 texture id for blend/mask (-1 none)
+    sigma_s: jnp.ndarray         # [M,3] SSS scattering coefficient (translucent.cc)
+    sss_g: jnp.ndarray           # [M] SSS phase anisotropy g
 
 
 @dataclass
@@ -103,6 +105,8 @@ class MaterialDef:
     blend_val: float = 0.5
     diffuse_tex: int = -1
     blend_tex: int = -1
+    sigma_s: tuple = (0.0, 0.0, 0.0)   # translucent SSS scattering coeff
+    sss_g: float = 0.0                 # translucent SSS phase anisotropy
     name: str = ""
 
     def bsdf_flags(self) -> int:
@@ -186,6 +190,8 @@ def build_material_table(defs: list[MaterialDef]) -> MaterialTable:
         flags=col(lambda d: d.bsdf_flags(), dtype=np.int32),
         diffuse_tex=col(lambda d: d.diffuse_tex, dtype=np.int32),
         blend_tex=col(lambda d: d.blend_tex, dtype=np.int32),
+        sigma_s=col(lambda d: d.sigma_s, (3,)),
+        sss_g=col(lambda d: d.sss_g),
     )
 
 
@@ -222,6 +228,8 @@ class MatParamsS(NamedTuple):
     as_diffuse: jnp.ndarray
     dispersion: jnp.ndarray
     alpha_rough: jnp.ndarray
+    sigma_s: "V3"
+    sss_g: jnp.ndarray
 
 
 def params_to_soa(p: MaterialTable) -> MatParamsS:
@@ -239,7 +247,7 @@ def params_to_soa(p: MaterialTable) -> MatParamsS:
         absorption=v3(p.absorption), glossy_reflect=p.glossy_reflect,
         exp_u=p.exponent[..., 0], exp_v=p.exponent[..., 1],
         as_diffuse=p.as_diffuse, dispersion=p.dispersion,
-        alpha_rough=p.alpha_rough)
+        alpha_rough=p.alpha_rough, sigma_s=v3(p.sigma_s), sss_g=p.sss_g)
 
 
 def gather_params_s(table: MaterialTable, mat_idx) -> MatParamsS:
@@ -268,7 +276,9 @@ def gather_params_s(table: MaterialTable, mat_idx) -> MatParamsS:
             table.absorption[:, 0], table.absorption[:, 1],
             table.absorption[:, 2],
             table.glossy_reflect, table.exponent[:, 0], table.exponent[:, 1],
-            table.as_diffuse.astype(f), table.dispersion, table.alpha_rough]
+            table.as_diffuse.astype(f), table.dispersion, table.alpha_rough,
+            table.sigma_s[:, 0], table.sigma_s[:, 1], table.sigma_s[:, 2],
+            table.sss_g]
     rows = onehot_decode(jnp.stack(cols, axis=0), idx, m)
     return MatParamsS(
         mtype=rows[0].astype(jnp.int32), flags=rows[1].astype(jnp.int32),
@@ -282,7 +292,8 @@ def gather_params_s(table: MaterialTable, mat_idx) -> MatParamsS:
         absorption=V3(rows[24], rows[25], rows[26]),
         glossy_reflect=rows[27], exp_u=rows[28], exp_v=rows[29],
         as_diffuse=rows[30] > 0.5, dispersion=rows[31],
-        alpha_rough=rows[32])
+        alpha_rough=rows[32],
+        sigma_s=V3(rows[33], rows[34], rows[35]), sss_g=rows[36])
 
 
 def detach_sample(sres):

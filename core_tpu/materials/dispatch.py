@@ -24,6 +24,10 @@ def _families():
         int(MatType.COATED_GLOSSY): glossy_mod,
         int(MatType.GLASS): glass_mod,
         int(MatType.ROUGH_GLASS): glass_mod,
+        # translucent (TheBounty SSS, src/materials/translucent.cc): the
+        # surface part is a glossy+diffuse BSDF; the subsurface transport
+        # lives in integrators/sss.py keyed on the TRANSLUCENT flag.
+        int(MatType.TRANSLUCENT): glossy_mod,
     }
 
 
@@ -149,7 +153,8 @@ def _params_to_aos(p):
         alpha_rough=p.alpha_rough, sub_mat=i32(-1),
         blend_val=jnp.zeros(n, jnp.float32), flags=p.flags,
         diffuse_tex=jnp.full(n, -1, jnp.int32),
-        blend_tex=jnp.full(n, -1, jnp.int32))
+        blend_tex=jnp.full(n, -1, jnp.int32),
+        sigma_s=aos(p.sigma_s), sss_g=p.sss_g)
 
 
 def _call_family_s(m, fname, p, sps, *args):

@@ -83,6 +83,12 @@ def _integrator_fn(opts: RenderOptions):
     if opts.integrator == "photonmapping":
         from core_tpu.integrators import photonmap as pm_mod
         return pm_mod.integrate
+    if opts.integrator == "bidirectional":
+        from core_tpu.integrators import bidir as bd_mod
+        return bd_mod.integrate
+    if opts.integrator == "debug":
+        from core_tpu.integrators import debug as dbg_mod
+        return dbg_mod.integrate
     raise ValueError(f"unknown integrator {opts.integrator}")
 
 
@@ -92,6 +98,13 @@ def integrator_preprocess(scene, types_present, opts: RenderOptions):
     if opts.integrator == "photonmapping":
         from core_tpu.integrators import photonmap as pm_mod
         return pm_mod.preprocess(scene, types_present, opts.integrator_opts)
+    if opts.integrator == "directlight" \
+            and getattr(opts.integrator_opts, "use_sss", False):
+        from core_tpu.integrators import sss as sss_mod
+        io = opts.integrator_opts
+        return sss_mod.build_sss_map(scene, types_present,
+                                     n_photons=io.sss_photons,
+                                     interior_steps=io.sss_steps)
     return None
 
 
@@ -193,13 +206,34 @@ def _render_chunk_jit(scene, types_present, opts, film, pass_offs, spp,
                         aux=aux)
 
 
-def render_image(scene, opts: RenderOptions, verbose: bool = False):
-    """Full multi-pass render; returns (image [H,W,4], Film)."""
+def render_image(scene, opts: RenderOptions, verbose: bool = False,
+                 progress=None, checkpoint_path: str | None = None):
+    """Full multi-pass render; returns (image [H,W,4], Film).
+
+    progress: a utils.monitor.ProgressBar (ticked per sample chunk, like the
+    reference's per-tile progress, imagefilm.cc:371-376).
+    checkpoint_path: if set, the film + pass counters are saved after every
+    pass and an existing checkpoint is resumed from (bit-exact: the QMC
+    stream is a pure function of the stored pass/sample offsets)."""
     types_present = scene_material_types(scene)
     cam = scene.camera
     film = film_mod.make_film(cam.resy, cam.resx)
     dummy_mask = jnp.ones((cam.resy, cam.resx), bool)
     aux = integrator_preprocess(scene, types_present, opts)
+    start_pass = 0
+    offs = 0
+    if checkpoint_path:
+        from core_tpu.checkpoint import load_checkpoint, save_checkpoint
+        ck = load_checkpoint(checkpoint_path)
+        if ck is not None:
+            film, start_pass, offs, _ = ck
+            if verbose:
+                print(f"resumed checkpoint at pass {start_pass}")
+    total_chunks = sum(
+        -(-n // opts.spp_chunk) for n in
+        [opts.aa_samples] + [opts.aa_inc_samples] * (opts.aa_passes - 1))
+    if progress is not None:
+        progress.init(total_chunks)
 
     def run_pass(film, pass_offs, n_samples, resample_mask, with_mask):
         done = 0
@@ -209,17 +243,26 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False):
                                      pass_offs, spp, done,
                                      resample_mask, with_mask, aux)
             done += spp
+            if progress is not None:
+                progress.update(1)
         return film
 
-    film = run_pass(film, 0, opts.aa_samples, dummy_mask, False)
-    offs = opts.aa_samples
-    for p in range(1, opts.aa_passes):
+    if start_pass == 0:
+        film = run_pass(film, 0, opts.aa_samples, dummy_mask, False)
+        offs = opts.aa_samples
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, film, 1, offs)
+    for p in range(max(1, start_pass), opts.aa_passes):
         flags = film_mod.next_pass_flags(film, opts.aa_threshold)
         if verbose:
             print(f"pass {p + 1}/{opts.aa_passes}: resampling "
                   f"{int(jnp.sum(flags))} pixels")
         film = run_pass(film, offs, opts.aa_inc_samples, flags, True)
         offs += opts.aa_inc_samples
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, film, p + 1, offs)
+    if progress is not None:
+        progress.done()
     img = film_mod.flush(film, gamma=opts.gamma, clamp=opts.clamp_rgb)
     return img, film
 

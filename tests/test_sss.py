@@ -1,0 +1,83 @@
+"""Subsurface scattering (translucent material + dipole photon maps).
+
+Covers the reference's TheBounty SSS additions
+(src/yafraycore/mcintegrator.cc:936,1457; src/materials/translucent.cc):
+photon deposits land inside translucent objects, the dipole profile is
+finite/positive/decaying, and a translucent render gains energy vs an
+opaque-black one.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from core_tpu.scenes import cornell_box
+from core_tpu.materials.base import MaterialDef, MatType
+from core_tpu.render import RenderOptions, render_image, scene_material_types
+from core_tpu.integrators.direct import DirectOptions
+from core_tpu.integrators import sss as sss_mod
+
+
+def _sss_scene(sigma_s=(8.0, 8.0, 8.0), res=32):
+    """Cornell box whose short block is translucent."""
+    import dataclasses
+    from core_tpu.materials.base import build_material_table
+    scene = cornell_box(resx=res, resy=res, light_samples=2,
+                        with_blocks=True, intersector="brute")
+    # rebuild the material table with the short-block material translucent
+    mats = [
+        MaterialDef(name="white", diffuse_color=(0.75, 0.75, 0.75)),
+        MaterialDef(name="red", diffuse_color=(0.63, 0.065, 0.05)),
+        MaterialDef(name="green", diffuse_color=(0.14, 0.45, 0.091)),
+        MaterialDef(name="light", diffuse_color=(1.0, 1.0, 1.0),
+                    diffuse_strength=0.0, emit_strength=30.0),
+    ]
+    # blocks use material 0 (white) in the default cornell box; make a
+    # translucent variant and retag the block triangles
+    mats.append(MaterialDef(name="sss", mtype=MatType.TRANSLUCENT,
+                            diffuse_color=(0.9, 0.7, 0.6),
+                            glossy_color=(0.2, 0.2, 0.2),
+                            glossy_reflect=0.1, diffuse_strength=0.4,
+                            ior=1.3, absorption=(0.02, 0.04, 0.06),
+                            sigma_s=sigma_s, sss_g=0.0))
+    table = build_material_table(mats)
+    # block triangles: walls are the first 10 tris (5 quads), blocks follow
+    tri_mat = np.asarray(scene.geom.tri_mat).copy()
+    block_tris = slice(10, 10 + 60)   # two boxes x 6 faces x 2 tris... first box
+    tri_mat[10:34] = 4                # short block (12 faces x 2 tris = 24)
+    geom = scene.geom._replace(tri_mat=jnp.asarray(tri_mat))
+    return dataclasses.replace(
+        scene, geom=geom, materials=table,
+        mat_types=tuple(sorted({int(d.mtype) for d in mats})))
+
+
+def test_sss_photons_deposit_inside():
+    scene = _sss_scene()
+    tp = scene_material_types(scene)
+    m = sss_mod.build_sss_map(scene, tp, n_photons=2048, interior_steps=3)
+    n_dep = int(jnp.sum(m.valid))
+    assert n_dep > 0, "no SSS photons deposited"
+    pw = np.asarray(m.power)[np.asarray(m.valid)]
+    assert np.all(np.isfinite(pw)) and np.all(pw >= 0)
+
+
+def test_dipole_profile_positive_decaying():
+    r2 = jnp.asarray([[0.01, 1.0, 25.0]])
+    rd = sss_mod.dipole_rd_1ch(r2, jnp.full((1, 1), 0.05),
+                               jnp.full((1, 1), 5.0), jnp.zeros((1, 1)),
+                               jnp.full((1, 1), 1.3))
+    rd = np.asarray(rd)[0]
+    assert np.all(rd > 0) and rd[0] > rd[1] > rd[2]
+
+
+def test_sss_render_adds_energy():
+    scene = _sss_scene()
+    opts_off = RenderOptions(integrator="directlight",
+                             integrator_opts=DirectOptions(raydepth=1))
+    opts_on = RenderOptions(integrator="directlight",
+                            integrator_opts=DirectOptions(
+                                raydepth=1, use_sss=True, sss_photons=2048,
+                                sss_steps=3))
+    img_off, _ = render_image(scene, opts_off)
+    img_on, _ = render_image(scene, opts_on)
+    assert np.all(np.isfinite(np.asarray(img_on)))
+    gain = float(jnp.sum(img_on[..., :3]) - jnp.sum(img_off[..., :3]))
+    assert gain > 0.0, f"SSS added no energy (gain={gain})"
