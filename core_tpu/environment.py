@@ -235,6 +235,9 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
     vtype = (vp or ParamMap()).get_str("type", "none")
     vmap = {"EmissionIntegrator": "emission",
             "SingleScatterIntegrator": "singlescatter",
+            # SkyIntegrator = single-scatter march over a SkyVolume region
+            # (Rayleigh/Mie phase handled by the region, SkyIntegrator.cc)
+            "SkyIntegrator": "singlescatter",
             "none": "none"}
     vopts = VolumeOptions(integrator=vmap.get(vtype, "none"),
                           steps=max(4, int((vp or ParamMap()).get_float(
@@ -443,6 +446,41 @@ def _light_area(b: SceneBuilder, name, p: ParamMap, extra):
                         samples=p.get_int("samples", 4))
     b.lights.append(l)
     return l
+
+
+@register("light", "ieslight")
+def _light_ies(b: SceneBuilder, name, p: ParamMap, extra):
+    from core_tpu.lights.ies import make_ies_light
+    path = p.get_str("file", "")
+    with open(path) as f:
+        text = f.read()
+    l = make_ies_light(pos=p.get_point("from"), to=p.get_point("to"),
+                       color=p.get_color("color", (1.0, 1.0, 1.0))[:3],
+                       power=p.get_float("power", 1.0), ies_text=text,
+                       samples=p.get_int("samples", 1))
+    b.lights.append(l)
+    return l
+
+
+@register("light", "bgPortalLight")
+def _light_portal(b: SceneBuilder, name, p: ParamMap, extra):
+    # bgportallight.cc binds a portal mesh object + the scene background;
+    # both exist only at compile time -> deferred like meshlight
+    obj_id = p.get_int("object", 0)
+
+    def make(builder, name, p, scene):
+        from core_tpu.lights.portal import make_bg_portal_light
+        geom = scene.geom
+        sel = np.asarray(geom.tri_obj) == obj_id
+        if not sel.any():
+            return None
+        return make_bg_portal_light(
+            np.asarray(geom.verts), np.asarray(geom.tri_vidx)[sel],
+            background=scene.background, power=p.get_float("power", 1.0),
+            samples=p.get_int("samples", 4), obj_id=obj_id)
+
+    b._deferred_lights.append((make, name, p))
+    return None
 
 
 @register("light", "spherelight")
@@ -730,6 +768,37 @@ def _vol_exp(b: SceneBuilder, name, p: ParamMap, extra):
         sigma_s=p.get_float("sigma_s", 0.1),
         l_e=p.get_float("l_e", 0.0), g=p.get_float("g", 0.0),
         a=p.get_float("a", 1.0), b=p.get_float("b", 1.0),
+        bmin=(p.get_float("minX"), p.get_float("minY"), p.get_float("minZ")),
+        bmax=(p.get_float("maxX"), p.get_float("maxY"), p.get_float("maxZ")))
+    b.volumes.append(v)
+    return v
+
+
+@register("volumeregion", "GridVolume")
+def _vol_grid(b: SceneBuilder, name, p: ParamMap, extra):
+    from core_tpu.volumes import make_grid_volume
+    import numpy as np_
+    g = p.get("grid")
+    if g is None:
+        g = np_.ones((2, 2, 2), np_.float32)
+    v = make_grid_volume(
+        grid=g,
+        sigma_a=p.get_float("sigma_a", 0.1),
+        sigma_s=p.get_float("sigma_s", 0.1),
+        l_e=p.get_float("l_e", 0.0), g=p.get_float("g", 0.0),
+        bmin=(p.get_float("minX"), p.get_float("minY"), p.get_float("minZ")),
+        bmax=(p.get_float("maxX"), p.get_float("maxY"), p.get_float("maxZ")))
+    b.volumes.append(v)
+    return v
+
+
+@register("volumeregion", "SkyVolume")
+def _vol_sky(b: SceneBuilder, name, p: ParamMap, extra):
+    from core_tpu.volumes.regions import make_sky_volume
+    v = make_sky_volume(
+        s_ray=p.get_float("sigma_t", 0.05) * 0.8,
+        s_mie=p.get_float("sigma_t", 0.05) * 0.2,
+        l_e=p.get_float("l_e", 0.0), g=p.get_float("g", 0.8),
         bmin=(p.get_float("minX"), p.get_float("minY"), p.get_float("minZ")),
         bmax=(p.get_float("maxX"), p.get_float("maxY"), p.get_float("maxZ")))
     b.volumes.append(v)

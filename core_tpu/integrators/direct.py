@@ -92,6 +92,26 @@ def _ambient_occlusion(scene, types_present, p, sp, wo, pixel_sample,
     return acc / n
 
 
+def apply_dispersion(cur_p, chromatic, wl, throughput):
+    """Spectral dispersion on specular chains (mcintegrator.cc:421-628
+    dispersive branch): when a path first enters a DISPERSIVE material, it
+    turns monochromatic — one wavelength wl sampled per camera sample, the
+    throughput weighted by wl2rgb, and the IOR replaced by Cauchy n(wl).
+    The reference splits the trajectory over several wavelengths; one
+    stochastic wavelength per sample has the same expectation (documented
+    deviation, more color noise at equal sample counts)."""
+    from core_tpu.sampling import spectrum
+    # gate on dispersion_power like the reference glass ctor (glass.cc)
+    disp = cur_p.dispersion > 0.0
+    newly = disp & (~chromatic)
+    a, b = spectrum.cauchy_coefficients(cur_p.ior, cur_p.dispersion)
+    ior_wl = spectrum.cauchy_ior(wl, a, b)
+    p2 = cur_p._replace(ior=jnp.where(disp, ior_wl, cur_p.ior))
+    w = spectrum.wl2rgb(wl)
+    throughput = jnp.where(newly[..., None], throughput * w, throughput)
+    return p2, chromatic | disp, throughput
+
+
 def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
               opts: DirectOptions, aux=None):
     """Full directlight integrate() for a camera-ray wavefront.
@@ -114,7 +134,11 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     active = primary_valid
     exclude = sp.prim
     spec_depth = opts.raydepth if scene.has_specular else 0
+    chromatic = jnp.zeros(n, bool)
+    wl = qmc.scr_halton(29, pixel_sample.astype(jnp.uint32) + sampling_offs)
     for depth in range(spec_depth):
+        cur_p, chromatic, throughput = apply_dispersion(
+            cur_p, chromatic, wl, throughput)
         spec = dispatch.get_specular(types_present, cur_p, cur_sp, cur_wo)
         lum_refl = luminance(spec.refl_col) * spec.refl_valid
         lum_refr = luminance(spec.refr_col) * spec.refr_valid

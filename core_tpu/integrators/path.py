@@ -182,6 +182,7 @@ def _specular_chains(scene, types_present, rays, hits, sp, p, pixel_sample,
     shaded with full path-traced lighting minus double-counted emission.
     (AoS legacy path — runs only for scenes with specular materials.)"""
     from core_tpu.mathutils import luminance
+    from core_tpu.integrators import direct as direct_mod
     n = rays.o.shape[0]
     col = jnp.zeros(rays.d.shape, jnp.float32)
     throughput = jnp.ones_like(col)
@@ -189,7 +190,11 @@ def _specular_chains(scene, types_present, rays, hits, sp, p, pixel_sample,
     cur_wo = -rays.d
     active = hits.valid
     exclude = sp.prim
+    chromatic = jnp.zeros(n, bool)
+    wl = qmc.scr_halton(29, pixel_sample.astype(jnp.uint32) + sampling_offs)
     for depth in range(opts.raydepth):
+        cur_p, chromatic, throughput = direct_mod.apply_dispersion(
+            cur_p, chromatic, wl, throughput)
         spec = dispatch.get_specular(types_present, cur_p, cur_sp, cur_wo)
         lum_refl = luminance(spec.refl_col) * spec.refl_valid
         lum_refr = luminance(spec.refr_col) * spec.refr_valid

@@ -39,6 +39,8 @@ def _mod(light):
     import core_tpu.lights.sphere as sphere
     import core_tpu.lights.mesh as mesh
     import core_tpu.lights.bg as bg
+    import core_tpu.lights.ies as ies
+    import core_tpu.lights.portal as portal
     table = (
         (area.AreaLight, area),
         (point.PointLight, point),
@@ -48,6 +50,8 @@ def _mod(light):
         (sphere.SphereLight, sphere),
         (mesh.MeshLight, mesh),
         (bg.BgLight, bg),
+        (ies.IesLight, ies),
+        (portal.BgPortalLight, portal),
     )
     for cls, mod in table:
         if isinstance(light, cls):

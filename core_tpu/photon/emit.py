@@ -109,6 +109,26 @@ def emit_photon(light, s1, s2, s3, s4, scene_center=None, scene_radius=None):
         ux, vy = shirley_disk(s3, s4)
         o = scene_center[None] + scene_radius * (
             ux[..., None] * du + vy[..., None] * dv + d_out)
-        e_pdf = np.pi * float(scene_radius) ** 2
+        e_pdf = np.pi * scene_radius ** 2
         return o, -d_out, col * e_pdf, ipdf
+    from core_tpu.lights.ies import IesLight, _intensity
+    from core_tpu.lights.portal import BgPortalLight
+    if isinstance(light, IesLight):
+        # iesLight.cc emitPhoton: directions over the sphere weighted by
+        # the candela profile
+        o = jnp.broadcast_to(light.pos, (n, 3))
+        d = sample_sphere(s1, s2)
+        inten = _intensity(light, -d)
+        return o, d, light.color[None] * inten[..., None], \
+            jnp.full((n,), 4.0 * np.pi)
+    if isinstance(light, BgPortalLight):
+        # bgportallight.cc emitPhoton: portal surface point, cosine dir,
+        # background radiance in the emitted direction
+        p, nrm = _sample_surface(light.mesh, s3, s4)
+        du, dv = create_cs(nrm)
+        d = sample_cos_hemisphere(nrm, du, dv, s1, s2)
+        from core_tpu.backgrounds import eval_background
+        col = eval_background(light.background, d) * light.power \
+            if light.background is not None else jnp.ones_like(d)
+        return p, d, col, jnp.broadcast_to(light.mesh.area, (n,))
     raise TypeError(f"emit_photon: unsupported light {type(light)}")

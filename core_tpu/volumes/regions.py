@@ -81,6 +81,37 @@ class GridVolume:
     grid: jnp.ndarray     # [X,Y,Z] densities
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SkyVolume:
+    """Atmosphere-style volume (SkyVolume.cc): Rayleigh + Mie scattering
+    with exponential height falloff; s_a is unused in the reference (pure
+    scattering), kept for the shared region API.  The phase function is a
+    Rayleigh/Mie blend (see phase_hg special case)."""
+    s_a: jnp.ndarray
+    s_s: jnp.ndarray      # [3] = s_ray (Rayleigh) baked per-channel
+    l_e: jnp.ndarray
+    g: jnp.ndarray        # Mie anisotropy
+    bmin: jnp.ndarray
+    bmax: jnp.ndarray
+    s_ray: jnp.ndarray    # [] Rayleigh scattering scale
+    s_mie: jnp.ndarray    # [] Mie scattering scale
+    scale: jnp.ndarray    # [] height falloff scale
+
+
+def make_sky_volume(s_ray=0.05, s_mie=0.01, l_e=0.0, g=0.8,
+                    bmin=(0, 0, 0), bmax=(1, 1, 1), scale=None):
+    le = np.broadcast_to(np.asarray(l_e, np.float32), (3,))
+    # Rayleigh 1/lambda^4 channel weights (normalized to green)
+    lam = np.array([0.685, 0.535, 0.475], np.float32)
+    ray_rgb = (0.535 / lam) ** 4
+    total = np.float32(s_ray) * ray_rgb + np.float32(s_mie)
+    if scale is None:
+        scale = 0.5 * (np.asarray(bmax)[2] - np.asarray(bmin)[2] + 1e-6)
+    return _mk(SkyVolume, total * 0.0, total, le, g, bmin, bmax,
+               s_ray=s_ray, s_mie=s_mie, scale=max(float(scale), 1e-6))
+
+
 def _mk(cls, sigma_a, sigma_s, l_e, g, bmin, bmax, **kw):
     f3 = lambda x: jnp.asarray(np.asarray(x, np.float32).reshape(3))
     return cls(s_a=f3(sigma_a), s_s=f3(sigma_s), l_e=f3(l_e),
@@ -134,6 +165,9 @@ def density(vol, p):
     if isinstance(vol, ExpDensityVolume):
         h = p[..., 2] - vol.bmin[2]
         return vol.a * jnp.exp(-vol.b * h)
+    if isinstance(vol, SkyVolume):
+        h = jnp.maximum(p[..., 2] - vol.bmin[2], 0.0)
+        return jnp.exp(-h / vol.scale)
     if isinstance(vol, NoiseVolume):
         t = _noise_turbulence(generator("newperlin"), p, 3, 1.0, False)
         d = jnp.power(jnp.maximum(t, 1e-6), vol.sharpness)
@@ -185,12 +219,19 @@ def emission(vol, p, v=None):
 
 
 def phase_hg(vol, w_l, w_s):
-    """Schlick phase approximation (volume.h:70-74)."""
+    """Schlick phase approximation (volume.h:70-74).  SkyVolume blends
+    Rayleigh 3/(16pi)(1+cos^2) with Schlick-Mie by scattering weights
+    (SkyIntegrator.cc)."""
+    cos = jnp.sum(w_l * w_s, axis=-1)
     g = vol.g
     k = 1.55 * g - 0.55 * g * g * g
-    kcos = k * jnp.sum(w_l * w_s, axis=-1)
-    return (1.0 / (4.0 * np.pi)) * (1.0 - k * k) \
-        / jnp.maximum((1.0 - kcos) ** 2, 1e-9)
+    schlick = (1.0 / (4.0 * np.pi)) * (1.0 - k * k) \
+        / jnp.maximum((1.0 - k * cos) ** 2, 1e-9)
+    if isinstance(vol, SkyVolume):
+        ray_ph = 3.0 / (16.0 * np.pi) * (1.0 + cos * cos)
+        wr = vol.s_ray / jnp.maximum(vol.s_ray + vol.s_mie, 1e-9)
+        return wr * ray_ph + (1.0 - wr) * schlick
+    return schlick
 
 
 def cross_bb(vol, rays):
