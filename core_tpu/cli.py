@@ -94,6 +94,19 @@ def main(argv=None) -> int:
         else:
             img_io.write_png(out, img, alpha=args.alpha)
     logger.info("wrote %s", out)
+
+    if args.z_buffer:
+        from core_tpu.render import render_zbuffer
+        z = np.asarray(render_zbuffer(scene))
+        zimg = np.repeat(z[..., None], 3, axis=-1)
+        zout = out.rsplit(".", 1)[0] + "_zbuffer." + args.format
+        if args.format == "hdr":
+            img_io.write_hdr(zout, zimg)
+        elif args.format == "tga":
+            img_io.write_tga(zout, zimg)
+        else:
+            img_io.write_png(zout, zimg)
+        logger.info("wrote %s", zout)
     for name, secs in timer.events():
         logger.info("%-8s %.3fs", name, secs)
     return 0

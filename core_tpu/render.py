@@ -267,6 +267,28 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False,
     return img, film
 
 
+def render_zbuffer(scene, normalize: bool = True):
+    """Primary-hit depth image [H,W] (the reference's z-channel:
+    imagefilm z buffer filled from state.raylevel==0 hits, imagefilm.cc;
+    normalized like precalcDepths, integrator.cc:99)."""
+    from core_tpu import scene as scene_mod
+    cam = scene.camera
+    h, w = cam.resy, cam.resx
+    x, y, _ = _pixel_grid_raster(h, w, 1)
+    px = x.astype(jnp.float32) + 0.5
+    py = y.astype(jnp.float32) + 0.5
+    rays, _ = shoot_ray(cam, px, py, None, None)
+    hits = scene_mod.closest_hit(scene, rays)
+    z = jnp.where(hits.valid, hits.t, jnp.inf).reshape(h, w)
+    if not normalize:
+        return z
+    finite = jnp.isfinite(z)
+    zmin = jnp.min(jnp.where(finite, z, jnp.inf))
+    zmax = jnp.max(jnp.where(finite, z, -jnp.inf))
+    zn = 1.0 - jnp.clip((z - zmin) / jnp.maximum(zmax - zmin, 1e-9), 0.0, 1.0)
+    return jnp.where(finite, zn, 0.0)
+
+
 def scene_material_types(scene) -> tuple:
     """Static tuple of material families the dispatcher must compile.
     BLEND/MASK rows resolve to their sub-materials in material_params, so
