@@ -131,3 +131,17 @@ def test_xml_writer_roundtrip(tmp_path):
     scene, opts = parse_xml_scene(path)
     assert scene.geom.n_tris == 2
     assert len(scene.lights) == 1
+
+
+def test_zbuffer_depth_ordering():
+    from core_tpu.scenes import cornell_box
+    from core_tpu.render import render_zbuffer
+    scene = cornell_box(resx=16, resy=16, light_samples=1,
+                        with_blocks=False, intersector="brute")
+    z = np.asarray(render_zbuffer(scene, normalize=False))
+    assert z.shape == (16, 16)
+    center = z[8, 8]          # back wall (farther)
+    edge = z[8, 1]            # side wall (nearer at grazing)
+    assert np.isfinite(center) and center > 0
+    zn = np.asarray(render_zbuffer(scene, normalize=True))
+    assert zn.min() >= 0.0 and zn.max() <= 1.0
