@@ -124,10 +124,20 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
         lcol = common.estimate_one_direct_s(scene, types_present, p, sp, wo,
                                             offs, pixel_sample_b,
                                             sampling_offs_b, nee_active)
-        emit_c = dispatch.emit_ss(types_present, p)
-        has_emit = (p.flags & BSDF.EMIT) != 0
-        emit_mask = has_emit if depth == 0 else (has_emit & caustic_mask)
-        lcol = lcol + where3(emit_mask, emit_c, 0.0)
+        # Emission pickup at path vertices (reference pathtracer.cc:240,295):
+        # the first path vertex runs emit() with includeLights=false -> 0;
+        # deeper vertices use `matBSDFs & (BSDF_EMIT && caustic)`, which by
+        # C++ precedence is `matBSDFs & BSDF_SPECULAR` gated on the caustic
+        # chain flag (emit() itself also returns 0 unless includeLights ==
+        # caustic).  Net effect: emission reaches the path only through
+        # caustic chains onto SPECULAR|EMIT materials; plain diffuse paths
+        # get all their light from NEE.  Replicated exactly for parity.
+        if depth > 0:
+            emit_c = dispatch.emit_ss(types_present, p)
+            has_emit = (p.flags & BSDF.EMIT) != 0
+            has_spec_flag = (p.flags & BSDF.SPECULAR) != 0
+            emit_mask = has_emit & caustic_mask & has_spec_flag
+            lcol = lcol + where3(emit_mask, emit_c, 0.0)
         path_col = path_col + where3(active, lcol * throughput, 0.0)
 
     return untile_sum3(path_col, n_paths) * (1.0 / float(n_paths))

@@ -223,7 +223,12 @@ def sample_bsdf_s(p: MatParamsS, sp, wo: V3, s1, s2,
     pdf = jnp.where(ok, pdf, 0.0)
     col = where3(ok, col, 1.0)
     flags = jnp.where(ok, flags, BSDF.NONE).astype(jnp.int32)
-    w_factor = jnp.abs(dot3(wi, sp.n)) / (pdf * 0.99 + 0.01)
+    # W only for valid samples: the no-match branch (e.g. the emit-only
+    # light material) must terminate paths like lightMat_t::sample
+    # (reference simple.cc:56-61, W=0 pdf=0).  Without this, pdf=0 lanes
+    # get W=cos/0.01 (~100x) and paths crossing the light quad explode.
+    w_factor = jnp.where(ok, jnp.abs(dot3(wi, sp.n)) / (pdf * 0.99 + 0.01),
+                         0.0)
     return SampleResultS(wi=wi, col=col, pdf=pdf, flags=flags, w=w_factor)
 
 
