@@ -39,6 +39,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--devices", type=int, default=0,
                     help="shard render over N devices (0 = single)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-dp", "--draw-params", action="store_true",
+                    help="burn render-settings badge into the image "
+                         "(reference xml-loader.cc -dp)")
+    ap.add_argument("--custom-string", default="",
+                    help="extra badge text (reference customString)")
     return ap
 
 
@@ -81,6 +86,13 @@ def main(argv=None) -> int:
 
     import numpy as np
     img = np.asarray(img)
+    if args.draw_params:
+        from core_tpu.io.badge import draw_badge, badge_lines
+        from core_tpu import __version__
+        rt = dict(timer.events()).get("render", 0.0)
+        aa = f"AA {opts.aa_passes};{opts.aa_samples};{opts.aa_inc_samples}"
+        img = draw_badge(img, badge_lines(__version__, opts.integrator, aa,
+                                          rt, args.custom_string))
     out = args.output
     if not out.endswith("." + args.format):
         out = out + "." + args.format

@@ -22,7 +22,7 @@ from core_tpu.scene import Scene
 
 _FACTORIES: dict[str, dict[str, Callable]] = {
     "light": {}, "material": {}, "texture": {}, "camera": {},
-    "background": {}, "integrator": {}, "volumeregion": {},
+    "background": {}, "integrator": {}, "volumeregion": {}, "object": {},
 }
 
 
@@ -124,6 +124,27 @@ class SceneBuilder:
 
     def end_mesh(self):
         self._cur_mesh = None
+
+    def start_curve_mesh(self, obj_id=None):
+        """Curve/strand mesh (reference scene_t::startCurveMesh,
+        scene.cc:118): collect points until end_curve_mesh."""
+        self._cur_mesh = self.assembler.start_mesh()
+        self._curve_points = []
+        return self._cur_mesh
+
+    def add_curve_vertex(self, x, y, z):
+        self._curve_points.append((float(x), float(y), float(z)))
+        return len(self._curve_points) - 1
+
+    def end_curve_mesh(self, mat_name: str, strand_start: float,
+                       strand_end: float, strand_shape: float):
+        """Tessellates the collected strand (scene_t::endCurveMesh)."""
+        self.assembler.add_curve(self._cur_mesh, self._curve_points,
+                                 self.material_index(mat_name),
+                                 strand_start, strand_end, strand_shape)
+        self._cur_mesh = None
+        self._curve_points = []
+        return True
 
     def add_instance(self, base_obj_id, matrix):
         return self.assembler.add_instance(base_obj_id, np.asarray(matrix))
@@ -745,6 +766,47 @@ def _integrator(b: SceneBuilder, name, p: ParamMap, extra):
 def _vol_integrator(b: SceneBuilder, name, p: ParamMap, extra):
     b.volume_integrator_params = p
     return p
+
+
+@register("object", "sphere")
+def _obj_sphere(b: SceneBuilder, name, p: ParamMap, extra):
+    """Sphere object (reference src/yafraycore/std_primitives.cc:33-90,
+    sphere_factory).  The reference keeps spheres analytic in its generic
+    kd-tree; a heterogeneous primitive type would break the uniform
+    triangle wavefront on TPU, so here the sphere is tessellated at build
+    time with *exact* sphere normals at every vertex (smooth-interpolated
+    at shading, matching getSurface's analytic normal to first order) and
+    the reference's U/V parametrization (atan2-based, std_primitives.cc:68-69).
+    """
+    center = np.asarray(p.get_point("center", (0.0, 0.0, 0.0)), np.float64)
+    radius = p.get_float("radius", 1.0)
+    mat = b.material_index(p.get_str("material", ""))
+    n_u = int(p.get_int("tess_u", 64))
+    n_v = int(p.get_int("tess_v", 32))
+    m = b.assembler.start_mesh()
+    idx = {}
+    for j in range(n_v + 1):
+        theta = np.pi * j / n_v
+        for i in range(n_u + 1):
+            phi = 2 * np.pi * i / n_u
+            nrm = np.array([np.sin(theta) * np.cos(phi),
+                            np.sin(theta) * np.sin(phi), np.cos(theta)])
+            vi = b.assembler.add_vertex(m, *(center + radius * nrm))
+            # U = atan2(y,x)/pi + 1, V = 1 - acos(z)/pi (std_primitives.cc)
+            uvi = b.assembler.add_uv(m, np.arctan2(nrm[1], nrm[0]) / np.pi + 1.0,
+                                     1.0 - theta / np.pi)
+            idx[(j, i)] = (vi, uvi)
+    for j in range(n_v):
+        for i in range(n_u):
+            (a, ua), (bb, ub) = idx[(j, i)], idx[(j, i + 1)]
+            (c, uc), (d, ud) = idx[(j + 1, i + 1)], idx[(j + 1, i)]
+            # outward-facing winding (geometric normal == sphere normal)
+            if j > 0:
+                b.assembler.add_triangle(m, a, c, bb, mat, uv_ids=(ua, uc, ub))
+            if j < n_v - 1:
+                b.assembler.add_triangle(m, a, d, c, mat, uv_ids=(ua, ud, uc))
+    b.assembler.smooth_mesh(m, 181.0)  # all-smooth: exact vertex normals win
+    return m.obj_id
 
 
 @register("volumeregion", "UniformVolume")

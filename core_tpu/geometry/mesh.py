@@ -89,6 +89,74 @@ class MeshAssembler:
     def smooth_mesh(self, m: MeshObject, angle_deg: float):
         m.smooth_angle = float(angle_deg)
 
+    def add_curve(self, m: MeshObject, points, mat: int,
+                  strand_start: float = 0.01, strand_end: float = 0.01,
+                  strand_shape: float = 0.0):
+        """Strand/hair curve: extrudes a triangular ribbon along the point
+        chain exactly like the reference curve mesh
+        (scene_t::endCurveMesh, src/yafraycore/scene.cc:138-230): per point
+        a radius from the strand taper shape, two extruded side vertices in
+        the tangent frame, 6 side triangles per segment + end caps, and 1-D
+        strand UV coordinates (u=v=arc parameter)."""
+        pts = np.asarray(points, np.float64).reshape(-1, 3)
+        n = pts.shape[0]
+        if n < 2:
+            raise ValueError("curve needs >= 2 points")
+        base = len(m.verts)
+        for p in pts:
+            self.add_vertex(m, *p)
+        u = v = None
+        for i in range(n):
+            t = i / (n - 1)
+            if strand_shape < 0:
+                r = strand_start + t ** (1 + strand_shape) \
+                    * (strand_end - strand_start)
+            else:
+                r = strand_start + (1 - (1 - t) ** (1 - strand_shape)) \
+                    * (strand_end - strand_start)
+            if i < n - 1:
+                N = pts[i + 1] - pts[i]
+                N = N / max(np.linalg.norm(N), 1e-20)
+                # createCS (include/core_api/vector3d.h:316-334)
+                if N[0] == 0 and N[1] == 0:
+                    u = np.array([-1.0, 0, 0]) if N[2] < 0 \
+                        else np.array([1.0, 0, 0])
+                    v = np.array([0.0, 1, 0])
+                else:
+                    d = 1.0 / np.sqrt(N[1] * N[1] + N[0] * N[0])
+                    u = np.array([N[1] * d, -N[0] * d, 0.0])
+                    v = np.cross(N, u)
+            o = pts[i]
+            a = o - 0.5 * r * v - 1.5 * r / np.sqrt(3.0) * u
+            b = o - 0.5 * r * v + 1.5 * r / np.sqrt(3.0) * u
+            self.add_vertex(m, *a)
+            self.add_vertex(m, *b)
+
+        def uvid(s):
+            return self.add_uv(m, s, s)
+
+        for i in range(n - 1):
+            su = i / (n - 1)
+            sv = su + 1.0 / (n - 1)
+            iu, iv = uvid(su), uvid(sv)
+            a1, a2 = base + i, base + n + 2 * i
+            a3 = a2 + 1
+            b1, b2 = base + i + 1, a2 + 2
+            b3 = b2 + 1
+            if i == 0:  # bottom cap
+                self.add_triangle(m, a1, a3, a2, mat, uv_ids=(iu, iu, iu))
+            self.add_triangle(m, a1, b2, b1, mat, uv_ids=(iu, iv, iv))
+            self.add_triangle(m, a1, a2, b2, mat, uv_ids=(iu, iu, iv))
+            self.add_triangle(m, a2, b3, b2, mat, uv_ids=(iu, iv, iv))
+            self.add_triangle(m, a2, a3, b3, mat, uv_ids=(iu, iu, iv))
+            self.add_triangle(m, b3, a3, a1, mat, uv_ids=(iv, iu, iu))
+            self.add_triangle(m, b3, a1, b1, mat, uv_ids=(iv, iu, iv))
+        # top cap (i = n-1 after the loop, reference scene.cc:227)
+        i = n - 1
+        iv_top = uvid(1.0)
+        self.add_triangle(m, base + i, base + n + 2 * i, base + n + 2 * i + 1,
+                          mat, uv_ids=(iv_top, iv_top, iv_top))
+
     def add_instance(self, base_obj_id: int, matrix: np.ndarray) -> int:
         """Instance an already-added mesh with a 4x4 transform
         (reference scene_t::addInstance, scene.cc:982)."""

@@ -103,7 +103,22 @@ class Interface:
         self.builder.end_mesh()
         return True
 
+    def start_curve_mesh(self, obj_id=None):
+        """Strand/hair curve mesh (yafrayinterface.h startCurveMesh)."""
+        self._in_curve = True
+        m = self.builder.start_curve_mesh(obj_id)
+        return m.obj_id
+
+    def end_curve_mesh(self, mat_name, strand_start=0.01, strand_end=0.01,
+                       strand_shape=0.0):
+        """yafrayinterface.h endCurveMesh(mat, start, end, shape)."""
+        self._in_curve = False
+        return self.builder.end_curve_mesh(mat_name, strand_start,
+                                           strand_end, strand_shape)
+
     def add_vertex(self, x, y, z):
+        if getattr(self, "_in_curve", False):
+            return self.builder.add_curve_vertex(x, y, z)
         return self.builder.add_vertex(x, y, z)
 
     def add_uv(self, u, v):

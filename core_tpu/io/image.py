@@ -165,6 +165,97 @@ def write_tga(path: str, img: np.ndarray, alpha: bool = False):
         f.write(bgr.tobytes())
 
 
+def _exr_attr(name: bytes, typ: bytes, payload: bytes) -> bytes:
+    return name + b"\0" + typ + b"\0" + struct.pack("<i", len(payload)) \
+        + payload
+
+
+def write_exr(path: str, img: np.ndarray, alpha: bool = False):
+    """OpenEXR 2.0 writer, uncompressed FLOAT scanlines (the reference's
+    exrHandler.cc writes half+zip via libIlmImf; here a dependency-free
+    subset: 32-bit float, compression NONE)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    chans = ["A", "B", "G", "R"] if (alpha and img.shape[-1] > 3) else \
+        ["B", "G", "R"]
+    # channel list: name\0, pixel type (2=FLOAT), pLinear+fill, xy sampling
+    chl = b"".join(c.encode() + b"\0" + struct.pack("<iBBBBii", 2, 0, 0, 0,
+                                                    0, 1, 1)
+                   for c in chans) + b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    hdr = b"\x76\x2f\x31\x01" + struct.pack("<i", 2)
+    hdr += _exr_attr(b"channels", b"chlist", chl)
+    hdr += _exr_attr(b"compression", b"compression", b"\0")
+    hdr += _exr_attr(b"dataWindow", b"box2i", box)
+    hdr += _exr_attr(b"displayWindow", b"box2i", box)
+    hdr += _exr_attr(b"lineOrder", b"lineOrder", b"\0")
+    hdr += _exr_attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+    hdr += _exr_attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0))
+    hdr += _exr_attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    hdr += b"\0"
+    nch = len(chans)
+    line_bytes = w * 4 * nch
+    data0 = len(hdr) + 8 * h
+    with open(path, "wb") as f:
+        f.write(hdr)
+        for y in range(h):
+            f.write(struct.pack("<Q", data0 + y * (8 + line_bytes)))
+        src = {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2],
+               "A": img[..., 3] if img.shape[-1] > 3 else
+               np.ones((h, w), np.float32)}
+        for y in range(h):
+            f.write(struct.pack("<ii", y, line_bytes))
+            for c in chans:  # channels stored in sorted-name order
+                f.write(np.ascontiguousarray(src[c][y]).tobytes())
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Reads the uncompressed-FLOAT scanline EXR subset written above."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    assert buf[:4] == b"\x76\x2f\x31\x01", "not an EXR file"
+    pos = 8
+    chans, xmax, ymax = [], 0, 0
+    while buf[pos] != 0:
+        e = buf.index(b"\0", pos)
+        name = buf[pos:e]
+        pos = e + 1
+        e = buf.index(b"\0", pos)
+        typ = buf[pos:e]
+        pos = e + 1
+        (sz,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        payload = buf[pos:pos + sz]
+        pos += sz
+        if name == b"channels":
+            p = 0
+            while payload[p] != 0:
+                ce = payload.index(b"\0", p)
+                cname = payload[p:ce].decode()
+                (ptype,) = struct.unpack_from("<i", payload, ce + 1)
+                assert ptype == 2, "only FLOAT EXR channels supported"
+                chans.append(cname)
+                p = ce + 1 + 16
+        elif name == b"compression":
+            assert payload[0] == 0, "only uncompressed EXR supported"
+        elif name == b"dataWindow":
+            x0, y0, xmax, ymax = struct.unpack("<iiii", payload)
+    pos += 1
+    h, w = ymax + 1, xmax + 1
+    pos += 8 * h  # offset table
+    planes = {c: np.empty((h, w), np.float32) for c in chans}
+    for _ in range(h):
+        y, nb = struct.unpack_from("<ii", buf, pos)
+        pos += 8
+        for c in chans:
+            planes[c][y] = np.frombuffer(buf, np.float32, w, pos)
+            pos += w * 4
+    out = [planes.get(c, np.zeros((h, w), np.float32)) for c in "RGB"]
+    if "A" in planes:
+        out.append(planes["A"])
+    return np.stack(out, axis=-1)
+
+
 def write_image(path: str, img: np.ndarray, alpha: bool = False):
     ext = path.rsplit(".", 1)[-1].lower()
     if ext == "png":
@@ -173,6 +264,8 @@ def write_image(path: str, img: np.ndarray, alpha: bool = False):
         return write_hdr(path, img)
     if ext == "tga":
         return write_tga(path, img, alpha)
+    if ext == "exr":
+        return write_exr(path, img, alpha)
     if ext == "npy":
         return np.save(path, np.asarray(img))
     try:
@@ -190,4 +283,13 @@ def read_image(path: str) -> np.ndarray:
         return read_hdr(path)
     if ext == "png":
         return read_png(path)
-    raise ValueError(f"unsupported texture image format: {ext}")
+    if ext == "exr":
+        return read_exr(path)
+    if ext == "npy":
+        return np.asarray(np.load(path), np.float32)
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.float32) / 255.0
+    except Exception as e:
+        raise ValueError(f"unsupported texture image format .{ext}: {e}")

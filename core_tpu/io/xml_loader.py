@@ -98,6 +98,10 @@ class _Handler(xml.sax.ContentHandler):
                 m.obj_id = obj_id
                 b.assembler._next_obj = max(b.assembler._next_obj, obj_id + 1)
             self.stack.append("mesh")
+        elif tag == "curve":
+            b.start_curve_mesh()
+            self._curve = {"mat": "", "start": 0.0, "end": 0.0, "shape": 0.0}
+            self.stack.append("curve")
         elif tag == "smooth":
             b.smooth_mesh(int(attrs.get("ID", 0)),
                           float(attrs.get("angle", 181.0)))
@@ -168,6 +172,28 @@ class _Handler(xml.sax.ContentHandler):
     def end_mesh(self, tag):
         if tag == "mesh":
             self.b.end_mesh()
+            self.stack.pop()
+
+    def start_curve(self, tag, attrs):
+        """Curve element children (reference xmlparser.cc:438-468)."""
+        b = self.b
+        if tag == "p":
+            b.add_curve_vertex(float(attrs.get("x", 0)),
+                               float(attrs.get("y", 0)),
+                               float(attrs.get("z", 0)))
+        elif tag == "strand_start":
+            self._curve["start"] = float(attrs.get("fval", attrs.get("sval", 0)))
+        elif tag == "strand_end":
+            self._curve["end"] = float(attrs.get("fval", attrs.get("sval", 0)))
+        elif tag == "strand_shape":
+            self._curve["shape"] = float(attrs.get("fval", attrs.get("sval", 0)))
+        elif tag == "set_material":
+            self._curve["mat"] = attrs.get("sval", "")
+
+    def end_curve(self, tag):
+        if tag == "curve":
+            c = self._curve
+            self.b.end_curve_mesh(c["mat"], c["start"], c["end"], c["shape"])
             self.stack.pop()
 
     def start_instance(self, tag, attrs):

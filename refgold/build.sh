@@ -1,0 +1,48 @@
+#!/bin/bash
+# Builds the C++ reference renderer (TheBounty, /root/reference) as a single
+# static golden-image driver, bypassing CMake (libxml2 is unavailable, so the
+# XML frontend is excluded; scenes are built via the embedding API instead).
+# Each plugin TU is compiled with -DregisterPlugin=registerPlugin_<name> so
+# the statically-linked registration entry points do not collide.
+set -e
+cd "$(dirname "$0")"
+REF=/root/reference
+OUT=build
+mkdir -p $OUT
+
+CXX=${CXX:-g++}
+FLAGS="-O2 -w -std=gnu++14 -fpermissive -I. -I$REF/include -DFAST_MATH -DFAST_TRIG"
+
+CORE_SRCS=$(ls $REF/src/yafraycore/*.cc | grep -v xmlparser)
+
+objs=()
+compile() { # compile <src> <obj> [extra flags]
+  local src=$1 obj=$OUT/$2; shift 2
+  if [ ! -f "$obj" ] || [ "$src" -nt "$obj" ]; then
+    $CXX $FLAGS "$@" -c "$src" -o "$obj" &
+  fi
+  objs+=("$obj")
+}
+
+for f in $CORE_SRCS; do
+  compile "$f" "core_$(basename $f .cc).o"
+done
+compile $REF/src/interface/yafrayinterface.cc iface.o
+
+compile $REF/src/integrators/directlight.cc p_directlight.o -DregisterPlugin=registerPlugin_directlight
+compile $REF/src/integrators/pathtracer.cc p_pathtracer.o -DregisterPlugin=registerPlugin_pathtracer
+compile $REF/src/integrators/EmptyVolumeIntegrator.cc p_emptyvol.o -DregisterPlugin=registerPlugin_emptyvol
+compile $REF/src/materials/shinydiffuse.cc p_shinydiffuse.o -DregisterPlugin=registerPlugin_shinydiffuse
+compile $REF/src/materials/simple.cc p_simplemat.o -DregisterPlugin=registerPlugin_simplemat
+compile $REF/src/materials/mask.cc p_maskmat.o
+compile $REF/src/lights/arealight.cc p_arealight.o -DregisterPlugin=registerPlugin_arealight
+compile $REF/src/lights/bgportallight.cc p_bgportal.o
+compile $REF/src/lights/meshlight.cc p_meshlight.o
+compile $REF/src/cameras/architectCamera.cc p_cam_arch.o -DregisterPlugin=registerPlugin_cameras
+compile $REF/src/cameras/perspectiveCamera.cc p_cam_persp.o
+
+compile driver.cc driver.o
+wait
+
+$CXX -O2 -o $OUT/refdriver "${objs[@]}" -lpthread -ldl
+echo "built $OUT/refdriver"

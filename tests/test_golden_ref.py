@@ -1,0 +1,72 @@
+"""Golden-image parity vs the C++ reference renderer.
+
+The goldens in tests/golden/ are rendered by the actual reference
+(TheBounty) built from /root/reference by refgold/build.sh + driver.cc
+(embedding API, statically linked plugins), on the identical Cornell
+scene that core_tpu/scenes.py:cornell_box() builds — same geometry,
+materials, area light, camera, box filter 1.0, gamma 1.0, linear float
+output (memoryIO_t dump).
+
+Tolerances: both renderers are Monte-Carlo with different QMC streams,
+so parity is statistical, not bit-exact.  The one *known systematic*
+difference (quantified with a float64 brute-force arbiter, see
+refgold/README.md): the reference's shadow rays use only a 5e-4 bias
+with no origin-primitive exclusion, so at grazing incidence (light
+direction nearly parallel to the surface) its light-side NEE
+self-shadows — ~99.8% of light samples are falsely occluded on the tall
+block's front face — losing energy exactly where the float64 ground
+truth says core_tpu is right.  That band dominates the error tail; the
+mean relative error stays ~1.4%.
+"""
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _load(name):
+    return np.load(os.path.join(GOLDEN_DIR, name + ".npz"))["img"]
+
+
+@pytest.fixture(scope="module")
+def dl_pair():
+    from core_tpu.scenes import cornell_box
+    from core_tpu.render import render_image, RenderOptions
+    from core_tpu.film import FilterType
+    ref = _load("dl_64x64_8spp_8ls")
+    scene = cornell_box(resx=64, resy=64, light_samples=8, with_blocks=True)
+    opts = RenderOptions(aa_samples=8, spp_chunk=2, filter_size=1.0,
+                         filter_type=FilterType.BOX)
+    img, _ = render_image(scene, opts)
+    return np.asarray(img), ref
+
+
+def test_directlight_matches_reference_mean(dl_pair):
+    img, ref = dl_pair
+    m, r = img[..., :3], ref[..., :3]
+    # overall brightness within 2%
+    assert abs(m.mean() - r.mean()) / r.mean() < 0.02, (m.mean(), r.mean())
+
+
+def test_directlight_matches_reference_pixels(dl_pair):
+    img, ref = dl_pair
+    m, r = img[..., :3], ref[..., :3]
+    rel_mae = np.abs(m - r).mean() / r.mean()
+    assert rel_mae < 0.04, rel_mae
+
+
+def test_directlight_matches_reference_blocks(dl_pair):
+    """8x8-downsampled block means agree everywhere except the grazing
+    band (documented above) — quantile-based bound."""
+    img, ref = dl_pair
+    m = img[..., :3].reshape(8, 8, 8, 8, 3).mean(axis=(1, 3, 4))
+    r = ref[..., :3].reshape(8, 8, 8, 8, 3).mean(axis=(1, 3, 4))
+    rel = np.abs(m - r) / np.maximum(r, 0.05)
+    assert np.quantile(rel, 0.9) < 0.08, np.quantile(rel, 0.9)
+
+
+def test_directlight_alpha_matches(dl_pair):
+    img, ref = dl_pair
+    np.testing.assert_allclose(img[..., 3], ref[..., 3], atol=0.02)
