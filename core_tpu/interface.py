@@ -148,12 +148,22 @@ class Interface:
             self._opts = self.builder.render_options()
         return self._scene, self._opts
 
-    def render(self, output_path: Optional[str] = None):
-        """Render and return the image [H,W,4]; optionally write it."""
+    def render(self, output_path: Optional[str] = None, output=None,
+               progress=None):
+        """Render and return the image [H,W,4]; optionally write it.
+
+        output: a gui.MemoryOutput / gui.CallbackOutput / gui.LiveView (or
+        any on_flush callable) — the colorOutput_t parameter of the
+        reference's yafrayInterface_t::render(output, pb)
+        (src/interface/yafrayinterface.cc:336-342).
+        progress: a utils.monitor.ProgressBar."""
         scene, opts = self.compile()
         from core_tpu.render import render_image
-        img, _ = render_image(scene, opts)
+        img, _ = render_image(scene, opts, progress=progress,
+                              on_flush=output)
         img = np.asarray(img)
+        if output is not None and hasattr(output, "finish"):
+            output.finish()
         if output_path:
             from core_tpu.io.image import write_image
             write_image(output_path, img)

@@ -133,6 +133,26 @@ class XmlInterface:
         self._body.append('</mesh>')
         self._mesh_open = False
 
+    def start_curve_mesh(self, obj_id=None):
+        """Strand curve element (xmlinterface curve writing; loader parity
+        in io/xml_loader.py start_curve)."""
+        if obj_id is None:
+            obj_id = self._next_obj
+        self._next_obj = max(self._next_obj, obj_id) + 1
+        self._body.append(f'<curve id="{obj_id}">')
+        self._mesh_open = True
+        return obj_id
+
+    def end_curve_mesh(self, mat_name, strand_start=0.01, strand_end=0.01,
+                       strand_shape=0.0):
+        self._body.append(f'\t<strand_start fval="{strand_start:.8g}"/>')
+        self._body.append(f'\t<strand_end fval="{strand_end:.8g}"/>')
+        self._body.append(f'\t<strand_shape fval="{strand_shape:.8g}"/>')
+        self._body.append(f'\t<set_material sval={quoteattr(str(mat_name))}/>')
+        self._body.append('</curve>')
+        self._mesh_open = False
+        return True
+
     def smooth_mesh(self, obj_id, angle):
         self._body.append(f'<smooth ID="{obj_id}" angle="{angle:.8g}"/>')
 

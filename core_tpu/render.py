@@ -207,14 +207,19 @@ def _render_chunk_jit(scene, types_present, opts, film, pass_offs, spp,
 
 
 def render_image(scene, opts: RenderOptions, verbose: bool = False,
-                 progress=None, checkpoint_path: str | None = None):
+                 progress=None, checkpoint_path: str | None = None,
+                 on_flush=None):
     """Full multi-pass render; returns (image [H,W,4], Film).
 
     progress: a utils.monitor.ProgressBar (ticked per sample chunk, like the
     reference's per-tile progress, imagefilm.cc:371-376).
     checkpoint_path: if set, the film + pass counters are saved after every
     pass and an existing checkpoint is resumed from (bit-exact: the QMC
-    stream is a pure function of the stored pass/sample offsets)."""
+    stream is a pure function of the stored pass/sample offsets).
+    on_flush(img_hw4, pass_idx, chunk_idx): called with the current
+    normalized film after every sample chunk — the interactive-display
+    hook (reference imageFilm_t::finishArea -> colorOutput_t::putPixel,
+    imagefilm.cc:291-376; the Qt/Python outputs hang off that path)."""
     types_present = scene_material_types(scene)
     cam = scene.camera
     film = film_mod.make_film(cam.resy, cam.resx)
@@ -235,16 +240,23 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False,
     if progress is not None:
         progress.init(total_chunks)
 
-    def run_pass(film, pass_offs, n_samples, resample_mask, with_mask):
+    def run_pass(film, pass_offs, n_samples, resample_mask, with_mask,
+                 pass_idx=0):
         done = 0
+        chunk_idx = 0
         while done < n_samples:
             spp = min(opts.spp_chunk, n_samples - done)
             film = _render_chunk_jit(scene, types_present, opts, film,
                                      pass_offs, spp, done,
                                      resample_mask, with_mask, aux)
             done += spp
+            chunk_idx += 1
             if progress is not None:
                 progress.update(1)
+            if on_flush is not None:
+                on_flush(np.asarray(film_mod.flush(
+                    film, gamma=opts.gamma, clamp=opts.clamp_rgb)),
+                    pass_idx, chunk_idx)
         return film
 
     if start_pass == 0:
@@ -257,7 +269,8 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False,
         if verbose:
             print(f"pass {p + 1}/{opts.aa_passes}: resampling "
                   f"{int(jnp.sum(flags))} pixels")
-        film = run_pass(film, offs, opts.aa_inc_samples, flags, True)
+        film = run_pass(film, offs, opts.aa_inc_samples, flags, True,
+                        pass_idx=p)
         offs += opts.aa_inc_samples
         if checkpoint_path:
             save_checkpoint(checkpoint_path, film, p + 1, offs)
