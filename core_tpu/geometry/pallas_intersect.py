@@ -141,19 +141,21 @@ def _any_hit_kernel(n_tris: int, tri_ref, o_ref, d_ref, lim_ref, excl_ref,
         py = dz * e2x - dx * e2z
         pz = dx * e2y - dy * e2x
         det = e1x * px + e1y * py + e1z * pz
-        det_ok = jnp.abs(det) > 1e-12
-        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        # division-free MT: test s*num against s*det bounds (s = sign(det));
+        # a boolean-only query needs no u/v/t values, just their signs.
+        s = jnp.where(det < 0.0, -1.0, 1.0)
+        dd = jnp.abs(det)
         tx = ox - v0x
         ty = oy - v0y
         tz = oz - v0z
-        u = (tx * px + ty * py + tz * pz) * inv_det
+        un = (tx * px + ty * py + tz * pz) * s
         qx = ty * e1z - tz * e1y
         qy = tz * e1x - tx * e1z
         qz = tx * e1y - ty * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok = det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) \
-            & (t > tmin) & (t < tcap) & (i != ex0) & (i != ex1)
+        vn = (dx * qx + dy * qy + dz * qz) * s
+        tn = (e2x * qx + e2y * qy + e2z * qz) * s
+        ok = (dd > 1e-12) & (un >= 0.0) & (vn >= 0.0) & (un + vn <= dd) \
+            & (tn > tmin * dd) & (tn < tcap * dd) & (i != ex0) & (i != ex1)
         return hit | ok.astype(jnp.int32)
 
     hit = jax.lax.fori_loop(0, n_tris, body,

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from core_tpu.mathutils import SHADOW_BIAS, MIN_RAYDIST
 from core_tpu import vec
@@ -80,66 +81,75 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
     wob = tile3(wo, n)
     activeb = tile1(active, n)
 
-    # --- light-side sampling ---
-    ls = light_base.illum_sample_s(light, spb, s1, s2)
-    l_rays = RaysS(o=spb.p, d=ls.wi,
-                   tmin=jnp.full_like(ls.dist, SHADOW_BIAS),
-                   tmax=ls.dist - SHADOW_BIAS)
-    surf = dispatch.eval_bsdf_s(types_present, pb, spb, wob, ls.wi, BSDF.ALL)
-    cos_term = jnp.abs(dot3(spb.n, ls.wi))
+    def nee_body(pb, spb, wob, light, s1, s2, activeb):
+        """The whole (n*N)-lane NEE shading chain (one function so a remat
+        policy can be swapped in; measured on v5e, rematerializing this
+        region was a net loss — 315 vs 352 Mrays/s — so it runs plain)."""
+        # --- light-side sampling ---
+        ls = light_base.illum_sample_s(light, spb, s1, s2)
+        l_rays = RaysS(o=spb.p, d=ls.wi,
+                       tmin=jnp.full_like(ls.dist, SHADOW_BIAS),
+                       tmax=ls.dist - SHADOW_BIAS)
+        surf = dispatch.eval_bsdf_s(types_present, pb, spb, wob, ls.wi,
+                                    BSDF.ALL)
+        cos_term = jnp.abs(dot3(spb.n, ls.wi))
 
-    if can_int:
-        mpdf = dispatch.pdf_bsdf_s(types_present, pb, spb, wob, ls.wi,
-                                   BSDF.INTERSECT)
-        l2 = ls.pdf * ls.pdf
-        m2 = mpdf * mpdf
-        w = jnp.where(mpdf > 1e-6, l2 / jnp.maximum(l2 + m2, 1e-20), 1.0)
+        if can_int:
+            mpdf = dispatch.pdf_bsdf_s(types_present, pb, spb, wob, ls.wi,
+                                       BSDF.INTERSECT)
+            l2 = ls.pdf * ls.pdf
+            m2 = mpdf * mpdf
+            w = jnp.where(mpdf > 1e-6, l2 / jnp.maximum(l2 + m2, 1e-20), 1.0)
 
-        # --- BSDF-sampling side of MIS (mcintegrator.cc:152-190) ---
-        sres = base_mod.detach_sample(
-            dispatch.sample_bsdf_s(types_present, pb, spb, wob, s1, s2,
-                                   BSDF.INTERSECT))
-        lh = light_base.intersect_light_s(
-            light, RaysS(o=spb.p, d=sres.wi,
-                         tmin=jnp.full_like(s1, MIN_RAYDIST),
-                         tmax=jnp.full_like(s1, -1.0)))
-        b_rays = RaysS(o=spb.p, d=sres.wi,
-                       tmin=jnp.full_like(s1, SHADOW_BIAS),
-                       tmax=lh.t - SHADOW_BIAS)
+            # --- BSDF-sampling side of MIS (mcintegrator.cc:152-190) ---
+            sres = base_mod.detach_sample(
+                dispatch.sample_bsdf_s(types_present, pb, spb, wob, s1, s2,
+                                       BSDF.INTERSECT))
+            lh = light_base.intersect_light_s(
+                light, RaysS(o=spb.p, d=sres.wi,
+                             tmin=jnp.full_like(s1, MIN_RAYDIST),
+                             tmax=jnp.full_like(s1, -1.0)))
+            b_rays = RaysS(o=spb.p, d=sres.wi,
+                           tmin=jnp.full_like(s1, SHADOW_BIAS),
+                           tmax=lh.t - SHADOW_BIAS)
 
-        # ONE shadow kernel launch for both MIS sides
-        cat = RaysS(o=V3(jnp.concatenate([l_rays.o.x, b_rays.o.x]),
-                         jnp.concatenate([l_rays.o.y, b_rays.o.y]),
-                         jnp.concatenate([l_rays.o.z, b_rays.o.z])),
-                    d=V3(jnp.concatenate([l_rays.d.x, b_rays.d.x]),
-                         jnp.concatenate([l_rays.d.y, b_rays.d.y]),
-                         jnp.concatenate([l_rays.d.z, b_rays.d.z])),
-                    tmin=jnp.concatenate([l_rays.tmin, b_rays.tmin]),
-                    tmax=jnp.concatenate([l_rays.tmax, b_rays.tmax]))
-        excl = jnp.concatenate([spb.prim, spb.prim])
-        shad = scene_mod.any_hit_s(scene, cat, exclude_prim=excl)
-        l_shadowed = shad[:n * N]
-        b_shadowed = shad[n * N:]
+            # ONE shadow kernel launch for both MIS sides
+            cat = RaysS(o=V3(jnp.concatenate([l_rays.o.x, b_rays.o.x]),
+                             jnp.concatenate([l_rays.o.y, b_rays.o.y]),
+                             jnp.concatenate([l_rays.o.z, b_rays.o.z])),
+                        d=V3(jnp.concatenate([l_rays.d.x, b_rays.d.x]),
+                             jnp.concatenate([l_rays.d.y, b_rays.d.y]),
+                             jnp.concatenate([l_rays.d.z, b_rays.d.z])),
+                        tmin=jnp.concatenate([l_rays.tmin, b_rays.tmin]),
+                        tmax=jnp.concatenate([l_rays.tmax, b_rays.tmax]))
+            excl = jnp.concatenate([spb.prim, spb.prim])
+            shad = scene_mod.any_hit_s(scene, cat, exclude_prim=excl)
+            shad = checkpoint_name(shad, "nee_kernel")
+            l_shadowed = shad[:n * N]
+            b_shadowed = shad[n * N:]
 
-        lcontrib = surf * ls.col * ((cos_term * w
-                                     / jnp.maximum(ls.pdf, 1e-12)))
-        l_ok = activeb & ls.valid & (~l_shadowed) & (ls.pdf > 1e-6)
+            lcontrib = surf * ls.col * ((cos_term * w
+                                         / jnp.maximum(ls.pdf, 1e-12)))
+            l_ok = activeb & ls.valid & (~l_shadowed) & (ls.pdf > 1e-6)
 
-        lpdf = 1.0 / jnp.maximum(lh.ipdf, 1e-12)
-        l2b = lpdf * lpdf
-        m2b = sres.pdf * sres.pdf
-        wb = m2b / jnp.maximum(l2b + m2b, 1e-20)
-        bcontrib = sres.col * lh.col * (wb * sres.w)
-        b_ok = activeb & lh.valid & (~b_shadowed) & (sres.pdf > 1e-6) \
-            & (lh.ipdf > 1e-6)
-        total = where3(l_ok, lcontrib, 0.0) + where3(b_ok, bcontrib, 0.0)
-    else:
-        shadowed = scene_mod.any_hit_s(scene, l_rays, exclude_prim=spb.prim)
-        contrib = surf * ls.col * (cos_term / jnp.maximum(ls.pdf, 1e-12))
-        ok = activeb & ls.valid & (~shadowed) & (ls.pdf > 1e-6)
-        total = where3(ok, contrib, 0.0)
+            lpdf = 1.0 / jnp.maximum(lh.ipdf, 1e-12)
+            l2b = lpdf * lpdf
+            m2b = sres.pdf * sres.pdf
+            wb = m2b / jnp.maximum(l2b + m2b, 1e-20)
+            bcontrib = sres.col * lh.col * (wb * sres.w)
+            b_ok = activeb & lh.valid & (~b_shadowed) & (sres.pdf > 1e-6) \
+                & (lh.ipdf > 1e-6)
+            total = where3(l_ok, lcontrib, 0.0) + where3(b_ok, bcontrib, 0.0)
+        else:
+            shadowed = scene_mod.any_hit_s(scene, l_rays,
+                                           exclude_prim=spb.prim)
+            shadowed = checkpoint_name(shadowed, "nee_kernel")
+            contrib = surf * ls.col * (cos_term / jnp.maximum(ls.pdf, 1e-12))
+            ok = activeb & ls.valid & (~shadowed) & (ls.pdf > 1e-6)
+            total = where3(ok, contrib, 0.0)
+        return untile_sum3(total, n) * inv_n
 
-    return untile_sum3(total, n) * inv_n
+    return nee_body(pb, spb, wob, light, s1, s2, activeb)
 
 
 def estimate_all_direct_s(scene, types_present, p, sps, wo, pixel_sample,
