@@ -39,6 +39,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--devices", type=int, default=0,
                     help="shard render over N devices (0 = single)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-t", "--threads", type=int, default=-1,
+                    help="reference -t flag; on TPU this maps to device "
+                         "count (-1 = all, like pthreads auto-detect)")
+    ap.add_argument("--version", action="version",
+                    version="core_tpu %s" % __import__("core_tpu").__version__)
     ap.add_argument("-dp", "--draw-params", action="store_true",
                     help="burn render-settings badge into the image "
                          "(reference xml-loader.cc -dp)")
@@ -49,6 +54,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.devices == 0 and args.threads > 1:
+        args.devices = args.threads   # -t N == shard over N devices
     from core_tpu.utils.logger import logger, set_verbosity
     set_verbosity(args.verbosity)
     from core_tpu.utils.timer import timer

@@ -65,6 +65,8 @@ class SceneBuilder:
         self.render_params = ParamMap()
         self._cur_mesh = None
         self._deferred_lights: list = []   # (factory, params) needing scene
+        # shader-node programs: (mat_index, slot, node_defs, out_node_name)
+        self.node_programs: list = []
 
     # ---- element creation (factory dispatch) ----
 
@@ -76,6 +78,29 @@ class SceneBuilder:
 
     def material_index(self, name: str) -> int:
         return self.material_names.get(name, 0)
+
+    # shader-node slots every reference material can map
+    # (shinydiffuse.cc:496-556, glossy2.cc:88-96)
+    NODE_SLOTS = ("diffuse_shader", "mirror_color_shader", "glossy_shader",
+                  "glossy_reflect_shader", "transparency_shader",
+                  "translucency_shader", "mirror_shader", "sigma_oren_shader",
+                  "bump_shader")
+
+    def collect_node_programs(self, mat_idx: int, p: ParamMap, extra):
+        """Parse the material's eparams list (shader-node descriptions,
+        reference paramsStartList/PushList) and record which material
+        slots are node-mapped (nodematerial.cc loadNodes + material
+        factories reading '<slot>_shader' params)."""
+        from core_tpu.textures.nodes import parse_node
+        ndefs = tuple(nd for nd in (parse_node(pm) for pm in (extra or []))
+                      if nd is not None)
+        if not ndefs:
+            return
+        names = {nd.name for nd in ndefs}
+        for slot in self.NODE_SLOTS:
+            ref = p.get_str(slot, "")
+            if ref and ref in names:
+                self.node_programs.append((mat_idx, slot, ndefs, ref))
 
     def add_material(self, name: str, mdef: MaterialDef) -> int:
         mdef.name = name
@@ -181,6 +206,9 @@ class SceneBuilder:
                       volumes=tuple(self.volumes),
                       has_specular=has_spec, has_transparency=has_transp,
                       mat_types=tuple(sorted(types)),
+                      node_programs=tuple(self.node_programs),
+                      texture_name_map=tuple(sorted(
+                          self.texture_names.items())),
                       intersector=resolve_intersector("auto", geom.n_tris))
         # deferred lights that need scene data (e.g. meshlight over an obj)
         for fn, name, params in self._deferred_lights:
@@ -300,7 +328,9 @@ def _mat_shinydiffuse(b: SceneBuilder, name, p: ParamMap, extra):
                           if p.get_str("diffuse_brdf", "") == "oren_nayar"
                           else None))
     _maybe_diffuse_tex(b, d, p)
-    return b.add_material(name, d)
+    idx = b.add_material(name, d)
+    b.collect_node_programs(idx, p, extra)
+    return idx
 
 
 def _maybe_diffuse_tex(b: SceneBuilder, d: MaterialDef, p: ParamMap):
@@ -326,7 +356,9 @@ def _mat_glossy(b: SceneBuilder, name, p: ParamMap, extra):
         ior=p.get_float("IOR", 1.4),
         mirror_color=p.get_color("mirror_color", (1.0, 1.0, 1.0)))
     _maybe_diffuse_tex(b, d, p)
-    return b.add_material(name, d)
+    idx = b.add_material(name, d)
+    b.collect_node_programs(idx, p, extra)
+    return idx
 
 
 @register("material", "glass", "rough_glass")

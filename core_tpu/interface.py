@@ -31,6 +31,8 @@ class Interface:
     def clear_all(self):
         self.builder = SceneBuilder()
         self._params = ParamMap()
+        self._eparams = []          # shader-node list (paramsStartList)
+        self._list_mode = False
         self._scene = None
         self._opts = None
 
@@ -40,34 +42,69 @@ class Interface:
 
     def params_clear(self):
         self._params = ParamMap()
+        self._eparams = []
+        self._list_mode = False
+
+    def _cur(self) -> ParamMap:
+        if self._list_mode:
+            if not self._eparams:
+                self._eparams.append(ParamMap())
+            return self._eparams[-1]
+        return self._params
+
+    def params_start_list(self):
+        """paramsStartList: subsequent paramsSet* write to the extended
+        list (shader-node descriptions for node materials)."""
+        self._list_mode = True
+        self._eparams = []
+
+    def params_push_list(self):
+        """paramsPushList: begin a new list element (one shader node)."""
+        self._list_mode = True
+        self._eparams.append(ParamMap())
+
+    def params_end_list(self):
+        """paramsEndList: revert to the normal param map."""
+        self._list_mode = False
 
     def params_set_point(self, name, x, y, z):
-        self._params[name] = (float(x), float(y), float(z))
+        self._cur()[name] = (float(x), float(y), float(z))
 
     def params_set_string(self, name, s):
-        self._params[name] = str(s)
+        self._cur()[name] = str(s)
 
     def params_set_bool(self, name, b):
-        self._params[name] = bool(b)
+        self._cur()[name] = bool(b)
 
     def params_set_int(self, name, i):
-        self._params[name] = int(i)
+        self._cur()[name] = int(i)
 
     def params_set_float(self, name, f):
-        self._params[name] = float(f)
+        self._cur()[name] = float(f)
 
     def params_set_color(self, name, r, g, b, a=1.0):
-        self._params[name] = (float(r), float(g), float(b), float(a))
+        self._cur()[name] = (float(r), float(g), float(b), float(a))
 
     def _take_params(self) -> ParamMap:
         p = self._params
         self._params = ParamMap()
+        self._list_mode = False
         return p
+
+    def _take_eparams(self) -> list:
+        e = self._eparams
+        self._eparams = []
+        return e
 
     # ---- create* factories ----
 
     def create_material(self, name):
-        return self.builder.create("material", name, self._take_params())
+        eparams = self._take_eparams()
+        return self.builder.create("material", name, self._take_params(),
+                                   eparams)
+
+    def create_object(self, name):
+        return self.builder.create("object", name, self._take_params())
 
     def create_light(self, name):
         return self.builder.create("light", name, self._take_params())

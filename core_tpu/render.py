@@ -48,6 +48,9 @@ class RenderOptions:
     integrator_opts: DirectOptions = field(default_factory=DirectOptions)
     volume_opts: "VolumeOptions" = None
     z_channel: bool = False
+    # debug: paint pixels flagged for adaptive resampling red in the output
+    # (reference show_sam_pix, imagefilm.cc flag drawing)
+    show_sam_pix: bool = False
 
     def __post_init__(self):
         if self.volume_opts is None:
@@ -277,6 +280,13 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False,
     if progress is not None:
         progress.done()
     img = film_mod.flush(film, gamma=opts.gamma, clamp=opts.clamp_rgb)
+    if opts.show_sam_pix and opts.aa_passes > 1:
+        flags = film_mod.next_pass_flags(film, opts.aa_threshold)
+        mark = jnp.stack([jnp.ones_like(flags, jnp.float32),
+                          jnp.zeros_like(flags, jnp.float32),
+                          jnp.zeros_like(flags, jnp.float32),
+                          jnp.ones_like(flags, jnp.float32)], -1)
+        img = jnp.where(flags[..., None], mark, img)
     return img, film
 
 

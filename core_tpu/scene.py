@@ -41,6 +41,12 @@ class Scene:
     # static tuple of MatType values present in the material table (lets
     # jit skip whole BSDF families; () = derive host-side when untraced)
     mat_types: tuple = field(metadata=dict(static=True), default=())
+    # shader-node programs (textures/nodes.py): static tuples of
+    # (mat_index, slot, NodeDef tuple, out node name); baked into fused
+    # jnp expressions in material_params (the reference evaluates its node
+    # DAG per hit via virtuals + a value stack, nodematerial.cc:31-57)
+    node_programs: tuple = field(metadata=dict(static=True), default=())
+    texture_name_map: tuple = field(metadata=dict(static=True), default=())
     # intersection backend: "brute" (jnp), "pallas" (TPU kernel); chosen at
     # build via resolve_intersector()
     intersector: str = field(metadata=dict(static=True), default="brute")
@@ -229,7 +235,8 @@ def material_params_s(scene: Scene, sps):
         table_types = set(np_.asarray(scene.materials.mtype).tolist())
     needs_aos = (int(MatType.BLEND) in table_types
                  or int(MatType.MASK) in table_types
-                 or scene.textures is not None)
+                 or scene.textures is not None
+                 or bool(scene.node_programs))
     if needs_aos:
         from core_tpu.vec import sp_to_aos
         return params_to_soa(material_params(scene, sp_to_aos(sps)))
@@ -296,6 +303,46 @@ def material_params(scene: Scene, sp: SurfacePoints):
         p = p._replace(diffuse_color=jnp.where(has[..., None],
                                                rgba[..., :3],
                                                p.diffuse_color))
+    if scene.node_programs:
+        p = _apply_node_programs(scene, p, sp)
+    return p
+
+
+# material-slot -> MaterialTable column for scalar node outputs
+# (strengths layout: [mirror, transparency, translucency, diffuse])
+_SCALAR_SLOT_COL = {"mirror_shader": 0, "transparency_shader": 1,
+                    "translucency_shader": 2}
+
+
+def _apply_node_programs(scene: Scene, p, sp: SurfacePoints):
+    """Substitute node-mapped material slots per hit (the reference's
+    initBSDF shader evaluation: shinydiffuse.cc:496-556 reads
+    diffuse/mirror/transparency/translucency/mirror-color shaders from the
+    evaluated node stack; here the whole DAG is a fused jnp expression)."""
+    from core_tpu.textures.nodes import eval_graph
+    ctx = {"p": sp.p, "uv": sp.uv, "n": sp.n,
+           "texture_names": dict(scene.texture_name_map)}
+    for mat_idx, slot, ndefs, out in scene.node_programs:
+        rgba, sval = eval_graph(list(ndefs), out, ctx, scene.textures)
+        mask = sp.mat == mat_idx
+        if slot == "diffuse_shader":
+            p = p._replace(diffuse_color=jnp.where(
+                mask[..., None], rgba[..., :3], p.diffuse_color))
+        elif slot == "mirror_color_shader":
+            p = p._replace(mirror_color=jnp.where(
+                mask[..., None], rgba[..., :3], p.mirror_color))
+        elif slot == "glossy_shader":
+            p = p._replace(glossy_color=jnp.where(
+                mask[..., None], rgba[..., :3], p.glossy_color))
+        elif slot == "glossy_reflect_shader":
+            p = p._replace(glossy_reflect=jnp.where(
+                mask, sval, p.glossy_reflect))
+        elif slot in _SCALAR_SLOT_COL:
+            col = _SCALAR_SLOT_COL[slot]
+            new_col = jnp.where(mask, sval, p.strengths[..., col])
+            p = p._replace(strengths=p.strengths.at[..., col].set(new_col))
+        # sigma_oren_shader / bump_shader: accepted but not yet applied
+        # (bump needs du/dv derivatives; documented gap)
     return p
 
 

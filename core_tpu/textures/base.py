@@ -261,6 +261,27 @@ def _eval_image(d: TextureDef, tset: TextureSet, uv):
         xi = jnp.round(fx).astype(jnp.int32)
         yi = jnp.round(fy).astype(jnp.int32)
         out = tset.atlas[slot, yi, xi]
+    elif d.interpolate == "bicubic":
+        # 4x4 cubic (reference imagetex.cc INTP_BICUBIC via
+        # utilities/interpolation.h CubicInterpolate)
+        x1 = jnp.floor(fx).astype(jnp.int32)
+        y1i = jnp.floor(fy).astype(jnp.int32)
+        tx = (fx - x1.astype(jnp.float32))[..., None]
+        ty = (fy - y1i.astype(jnp.float32))[..., None]
+
+        def cubic(y0, y1, y2, y3, mu):
+            a0 = y3 - y2 - y0 + y1
+            a1 = y0 - y1 - a0
+            a2 = y2 - y0
+            return a0 * mu * mu * mu + a1 * mu * mu + a2 * mu + y1
+
+        rows = []
+        for dy_ in (-1, 0, 1, 2):
+            yy = jnp.clip(y1i + dy_, 0, h - 1)
+            taps = [tset.atlas[slot, yy, jnp.clip(x1 + dx_, 0, w - 1)]
+                    for dx_ in (-1, 0, 1, 2)]
+            rows.append(cubic(taps[0], taps[1], taps[2], taps[3], tx))
+        out = cubic(rows[0], rows[1], rows[2], rows[3], ty)
     else:
         x0 = jnp.floor(fx).astype(jnp.int32)
         y0 = jnp.floor(fy).astype(jnp.int32)
@@ -278,6 +299,30 @@ def _eval_image(d: TextureDef, tset: TextureSet, uv):
                      jnp.zeros_like(out).at[..., 3].set(0.0))
 
 
+def eval_texture_def(ctex, i: int, p, uv):
+    """RGBA of texture def #i (static index) at 3D coords p / uv coords uv."""
+    d = ctex.defs[i]
+    if d.ttype == TexType.IMAGE:
+        return _eval_image(d, ctex.tset, uv)
+    if d.ttype == TexType.RGB_CUBE:
+        rgb = jnp.clip(jnp.abs(p), 0.0, 1.0)
+        return jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], -1)
+    if d.ttype == TexType.VORONOI and d.vor_color_mode > 0:
+        da, pa = nz.voronoi_features(p * d.size, d.vor_metric, d.vor_mk_exp)
+        aw = [abs(x) for x in d.vor_weights]
+        col = sum(aw[k] * nz.cell_noise_color(pa[..., k, :])
+                  for k in range(4))
+        inten = d.vor_iscale * sum(aw[k] * da[..., k] for k in range(4))
+        return jnp.concatenate(
+            [col * inten[..., None], jnp.clip(inten, 0, 1)[..., None]], -1)
+    val = _eval_one_float(d, p)
+    c1 = jnp.asarray(d.color1, jnp.float32)
+    c2 = jnp.asarray(d.color2, jnp.float32)
+    vc = jnp.clip(val, 0.0, 1.0)[..., None]
+    rgb = c1[None] + vc * (c2 - c1)[None]
+    return jnp.concatenate([rgb, jnp.clip(val, 0.0, 1.0)[..., None]], -1)
+
+
 def eval_texture(ctex, tex_id, p, uv):
     """RGBA of per-lane texture tex_id at 3D coords p / uv coords uv.
 
@@ -290,29 +335,6 @@ def eval_texture(ctex, tex_id, p, uv):
         return out
     for i, d in enumerate(ctex.defs):
         mask = tex_id == i
-        if d.ttype == TexType.IMAGE:
-            rgba = _eval_image(d, ctex.tset, uv)
-        elif d.ttype == TexType.RGB_CUBE:
-            rgb = jnp.clip(jnp.abs(p), 0.0, 1.0)
-            rgba = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], -1)
-        elif d.ttype == TexType.VORONOI and d.vor_color_mode > 0:
-            da, pa = nz.voronoi_features(p * d.size, d.vor_metric,
-                                         d.vor_mk_exp)
-            aw = [abs(x) for x in d.vor_weights]
-            col = sum(aw[k] * nz.cell_noise_color(pa[..., k, :])
-                      for k in range(4))
-            inten = d.vor_iscale * sum(
-                aw[k] * da[..., k] for k in range(4))
-            rgba = jnp.concatenate(
-                [col * inten[..., None],
-                 jnp.clip(inten, 0, 1)[..., None]], -1)
-        else:
-            val = _eval_one_float(d, p)
-            c1 = jnp.asarray(d.color1, jnp.float32)
-            c2 = jnp.asarray(d.color2, jnp.float32)
-            vc = jnp.clip(val, 0.0, 1.0)[..., None]
-            rgb = c1[None] + vc * (c2 - c1)[None]
-            rgba = jnp.concatenate(
-                [rgb, jnp.clip(val, 0.0, 1.0)[..., None]], -1)
+        rgba = eval_texture_def(ctex, i, p, uv)
         out = jnp.where(mask[..., None], rgba, out)
     return out
