@@ -94,7 +94,13 @@ def make_perspective(pos, look, up, resx, resy, aspect=1.0, focal=1.0,
     pos, cam_x, cam_y, cam_z = _axes(pos, look, up)
     aspect_ratio = aspect * resy / float(resx)
     vright = cam_x.copy()
-    vup = aspect_ratio * cam_y
+    if architect:
+        # vertical-line preserving projection: the per-pixel vertical step
+        # is the world up axis (-Z in the reference's Blender-style world),
+        # not the tilted camera Y (architectCamera.cc:53-66)
+        vup = aspect_ratio * np.array([0.0, 0.0, -1.0])
+    else:
+        vup = aspect_ratio * cam_y
     vto = cam_z * focal - 0.5 * (vup + vright)
     vup /= resy
     vright /= resx

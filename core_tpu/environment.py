@@ -200,16 +200,22 @@ class SceneBuilder:
                 for sub in (d.sub_mat0, d.sub_mat1):
                     if 0 <= sub < len(self.materials):
                         types.add(int(self.materials[sub].mtype))
+        isect = resolve_intersector("auto", geom.n_tris)
+        accel = None
+        if isect == "cluster":
+            from core_tpu.geometry.cluster_intersect import build_clusters
+            accel = build_clusters(np.asarray(geom.verts),
+                                   np.asarray(geom.tri_vidx))
         scene = Scene(geom=geom, materials=mats, lights=tuple(self.lights),
                       camera=self.camera, background=self.background,
-                      accel=None, textures=ctex,
+                      accel=accel, textures=ctex,
                       volumes=tuple(self.volumes),
                       has_specular=has_spec, has_transparency=has_transp,
                       mat_types=tuple(sorted(types)),
                       node_programs=tuple(self.node_programs),
                       texture_name_map=tuple(sorted(
                           self.texture_names.items())),
-                      intersector=resolve_intersector("auto", geom.n_tris))
+                      intersector=isect)
         # deferred lights that need scene data (e.g. meshlight over an obj)
         for fn, name, params in self._deferred_lights:
             light = fn(self, name, params, scene=scene)

@@ -10,6 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -57,7 +58,8 @@ PALLAS_MAX_TRIS = 4096
 
 
 def resolve_intersector(requested: str, n_tris: int) -> str:
-    """'auto' -> pallas kernel on TPU for SMEM-sized scenes, else brute."""
+    """'auto' -> pallas kernel on TPU for SMEM-sized scenes, the
+    two-level cluster kernel for large scenes, else brute (CPU)."""
     if requested != "auto":
         return requested
     import os
@@ -71,7 +73,9 @@ def resolve_intersector(requested: str, n_tris: int) -> str:
         on_tpu = jax.devices()[0].platform == "tpu"
     except RuntimeError:
         on_tpu = False
-    return "pallas" if (on_tpu and n_tris <= PALLAS_MAX_TRIS) else "brute"
+    if not on_tpu:
+        return "brute"
+    return "pallas" if n_tris <= PALLAS_MAX_TRIS else "cluster"
 
 
 def _detach_rays(rays: Rays) -> Rays:
@@ -81,8 +85,37 @@ def _detach_rays(rays: Rays) -> Rays:
     return jax.tree_util.tree_map(jax.lax.stop_gradient, rays)
 
 
+def _cluster_accel(scene: Scene):
+    """ClusterData for the two-level kernel.  Must be prebuilt at scene
+    compile time (environment.compile_scene / with_cluster_accel) — the
+    host-side build cannot run on traced geometry inside jit."""
+    from core_tpu.geometry import cluster_intersect as ck
+    if isinstance(scene.accel, ck.ClusterData):
+        return scene.accel
+    if isinstance(jnp.asarray(scene.geom.verts), jax.core.Tracer):
+        raise ValueError(
+            "intersector='cluster' needs a prebuilt ClusterData accel "
+            "(use core_tpu.scene.with_cluster_accel(scene) before jit)")
+    return ck.build_clusters(np.asarray(scene.geom.verts),
+                             np.asarray(scene.geom.tri_vidx))
+
+
+def with_cluster_accel(scene: Scene) -> Scene:
+    """Returns the scene with the two-level cluster accel built and the
+    intersector pinned to 'cluster' (large-scene TPU path)."""
+    import dataclasses
+    return dataclasses.replace(scene, accel=_cluster_accel(scene),
+                               intersector="cluster")
+
+
 def closest_hit(scene: Scene, rays: Rays, exclude_prim=None) -> Hits:
     rays = _detach_rays(rays)
+    if scene.intersector == "cluster":
+        from core_tpu.geometry import cluster_intersect as ck
+        from core_tpu.vec import rays_to_soa
+        return ck.closest_hit_clusters_s(_cluster_accel(scene),
+                                         rays_to_soa(rays),
+                                         exclude_prim=exclude_prim)
     if scene.accel is not None:
         from core_tpu.geometry import bvh
         return bvh.closest_hit_bvh(scene.geom, scene.accel, rays,
@@ -96,6 +129,13 @@ def closest_hit(scene: Scene, rays: Rays, exclude_prim=None) -> Hits:
 
 def any_hit(scene: Scene, rays: Rays, exclude_prim=None, exclude_prim2=None):
     rays = _detach_rays(rays)
+    if scene.intersector == "cluster":
+        from core_tpu.geometry import cluster_intersect as ck
+        from core_tpu.vec import rays_to_soa
+        return ck.any_hit_clusters_s(_cluster_accel(scene),
+                                     rays_to_soa(rays),
+                                     exclude_prim=exclude_prim,
+                                     exclude_prim2=exclude_prim2)
     if scene.accel is not None:
         from core_tpu.geometry import bvh
         return bvh.any_hit_bvh(scene.geom, scene.accel, rays,
@@ -112,6 +152,10 @@ def any_hit(scene: Scene, rays: Rays, exclude_prim=None, exclude_prim2=None):
 def closest_hit_s(scene: Scene, rays_s, exclude_prim=None) -> Hits:
     """SoA closest hit (vec.RaysS in, Hits out — Hits is layout-neutral)."""
     rays_s = jax.tree_util.tree_map(jax.lax.stop_gradient, rays_s)
+    if scene.intersector == "cluster":
+        from core_tpu.geometry import cluster_intersect as ck
+        return ck.closest_hit_clusters_s(_cluster_accel(scene), rays_s,
+                                         exclude_prim=exclude_prim)
     if scene.accel is None and scene.intersector == "pallas":
         from core_tpu.geometry.pallas_intersect import closest_hit_pallas_s
         return closest_hit_pallas_s(scene.geom, rays_s,
@@ -122,6 +166,11 @@ def closest_hit_s(scene: Scene, rays_s, exclude_prim=None) -> Hits:
 
 def any_hit_s(scene: Scene, rays_s, exclude_prim=None, exclude_prim2=None):
     rays_s = jax.tree_util.tree_map(jax.lax.stop_gradient, rays_s)
+    if scene.intersector == "cluster":
+        from core_tpu.geometry import cluster_intersect as ck
+        return ck.any_hit_clusters_s(_cluster_accel(scene), rays_s,
+                                     exclude_prim=exclude_prim,
+                                     exclude_prim2=exclude_prim2)
     if scene.accel is None and scene.intersector == "pallas":
         from core_tpu.geometry.pallas_intersect import any_hit_pallas_s
         return any_hit_pallas_s(scene.geom, rays_s, exclude_prim=exclude_prim,
@@ -219,8 +268,54 @@ def surface_points_s(scene: Scene, rays_s, hits: Hits):
     n_smooth = normalize3(cn0 * w0 + cn1 * u + cn2 * v)
     n = where3(smooth, n_smooth, ng)
     nu, nv = create_cs3(n)
-    return SPS(p=p, n=n, ng=ng, nu=nu, nv=nv, u=uu, v=vv,
-               mat=mat, light=light, prim=prim, obj=obj)
+    sps = SPS(p=p, n=n, ng=ng, nu=nu, nv=nv, u=uu, v=vv,
+              mat=mat, light=light, prim=prim, obj=obj)
+    if any(slot == "bump_shader" for _, slot, _, _ in scene.node_programs):
+        from core_tpu.vec import sp_to_aos, sp_to_soa
+        sps = sp_to_soa(apply_bump(scene, sp_to_aos(sps)))
+    return sps
+
+
+def apply_bump(scene: Scene, sp: SurfacePoints) -> SurfacePoints:
+    """Bump mapping via node-value derivatives (reference
+    textureMapper_t::evalDerivative procedural branch,
+    basicnodes.cc:227-240 — central differences along NU/NV with step
+    2e-4 — and material_t::applyBump, material.cc:68-75)."""
+    from core_tpu.textures.nodes import eval_graph
+    from core_tpu.mathutils import normalize, cross
+    progs = [(m, nds, out) for m, slot, nds, out in scene.node_programs
+             if slot == "bump_shader"]
+    if not progs:
+        return sp
+    step = 2e-4
+    tex_names = dict(scene.texture_name_map)
+    for m, nds, out in progs:
+        mapper = next((nd for nd in nds if nd.name == out), None)
+        bump_str = float(mapper.get("bump_strength", 1.0)) if mapper else 1.0
+        scale = np.linalg.norm(np.asarray(
+            mapper.get("scale", (1.0, 1.0, 1.0)), np.float64)) \
+            if mapper else 1.0
+        bump_str /= max(scale, 1e-9)
+
+        def val(pp):
+            ctx = {"p": pp, "uv": sp.uv, "n": sp.n,
+                   "texture_names": tex_names}
+            return eval_graph(list(nds), out, ctx, scene.textures)[1]
+
+        du = (val(sp.p - step * sp.nu) - val(sp.p + step * sp.nu)) \
+            / step * bump_str
+        dv = (val(sp.p - step * sp.nv) - val(sp.p + step * sp.nv)) \
+            / step * bump_str
+        nu2 = sp.nu + du[..., None] * sp.n
+        nv2 = sp.nv + dv[..., None] * sp.n
+        n2 = normalize(cross(nu2, nv2))
+        nu2 = normalize(nu2)
+        nv2 = normalize(cross(n2, nu2))
+        mask = (sp.mat == m)[..., None]
+        sp = sp._replace(n=jnp.where(mask, n2, sp.n),
+                         nu=jnp.where(mask, nu2, sp.nu),
+                         nv=jnp.where(mask, nv2, sp.nv))
+    return sp
 
 
 def material_params_s(scene: Scene, sps):
@@ -341,8 +436,8 @@ def _apply_node_programs(scene: Scene, p, sp: SurfacePoints):
             col = _SCALAR_SLOT_COL[slot]
             new_col = jnp.where(mask, sval, p.strengths[..., col])
             p = p._replace(strengths=p.strengths.at[..., col].set(new_col))
-        # sigma_oren_shader / bump_shader: accepted but not yet applied
-        # (bump needs du/dv derivatives; documented gap)
+        # bump_shader is applied to the shading frame in surface_points
+        # (apply_bump); sigma_oren_shader accepted but constant-only
     return p
 
 
@@ -366,6 +461,9 @@ def surface_points(scene: Scene, rays: Rays, hits: Hits) -> SurfacePoints:
     uvs = g.uvs[prim]                           # [N,3,2]
     uv = uvs[:, 0] * (1.0 - u - v) + uvs[:, 1] * u + uvs[:, 2] * v
     nu, nv = create_cs(n)
-    return SurfacePoints(p=p, n=n, ng=ng, nu=nu, nv=nv, uv=uv,
-                         mat=g.tri_mat[prim], light=g.tri_light[prim],
-                         prim=prim, obj=g.tri_obj[prim])
+    sp = SurfacePoints(p=p, n=n, ng=ng, nu=nu, nv=nv, uv=uv,
+                       mat=g.tri_mat[prim], light=g.tri_light[prim],
+                       prim=prim, obj=g.tri_obj[prim])
+    if any(slot == "bump_shader" for _, slot, _, _ in scene.node_programs):
+        sp = apply_bump(scene, sp)
+    return sp

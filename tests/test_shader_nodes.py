@@ -186,3 +186,80 @@ def test_node_material_renders():
     # diffuse_shader REPLACES the base color: gray noise, not red
     reds = np.asarray(m[hit])
     assert (np.abs(reds[:, 0] - reds[:, 1]) < 0.15 * reds.max()).all()
+
+
+def test_bump_mapping_perturbs_shading():
+    """bump_shader: flat triangle + flat albedo + noise bump must show
+    shading variation (applyBump, reference material.cc:68-75 +
+    basicnodes.cc evalDerivative)."""
+    from core_tpu.interface import Interface
+    yi = Interface()
+    yi.params_clear()
+    yi.params_set_string("type", "clouds")
+    yi.params_set_float("size", 0.05)
+    yi.create_texture("tx")
+    yi.params_clear()
+    yi.params_set_string("type", "shinydiffusemat")
+    yi.params_set_color("color", 0.7, 0.7, 0.7)
+    yi.params_set_string("bump_shader", "bmap")
+    yi.params_start_list()
+    yi.params_push_list()
+    yi.params_set_string("name", "bmap")
+    yi.params_set_string("type", "texture_mapper")
+    yi.params_set_string("texture", "tx")
+    yi.params_set_string("texco", "global")
+    yi.params_set_float("bump_strength", 20.0)
+    yi.params_end_list()
+    yi.create_material("bumpy")
+    yi.start_geometry()
+    yi.start_tri_mesh()
+    a = yi.add_vertex(-300, -300, 0)
+    b = yi.add_vertex(300, -300, 0)
+    c = yi.add_vertex(0, 300, 0)
+    yi.set_current_material("bumpy")
+    yi.add_triangle(a, b, c)
+    yi.end_tri_mesh()
+    yi.end_geometry()
+    yi.params_clear()
+    yi.params_set_string("type", "pointlight")
+    yi.params_set_point("from", 300, 300, 200)
+    yi.params_set_color("color", 1, 1, 1)
+    yi.params_set_float("power", 150000)
+    yi.create_light("l")
+    yi.params_clear()
+    yi.params_set_string("type", "perspective")
+    yi.params_set_point("from", 0, 0, 400)
+    yi.params_set_point("to", 0, 0, 0)
+    yi.params_set_point("up", 0, 1, 400)
+    yi.params_set_int("resx", 32)
+    yi.params_set_int("resy", 32)
+    yi.create_camera("cam")
+    yi.params_clear()
+    yi.params_set_string("type", "directlighting")
+    yi.create_integrator("surf")
+    yi.params_clear()
+    yi.params_set_string("type", "none")
+    yi.create_integrator("vol")
+    yi.setup_render(camera_name="cam", integrator_name="surf",
+                    volintegrator_name="vol", AA_minsamples=1,
+                    width=32, height=32)
+    img = yi.render()
+    m = img[..., :3]
+    hit = m.sum(-1) > 0
+    assert np.asarray(m[hit]).std() > 0.01
+
+
+def test_architect_camera_differs_from_perspective():
+    """Architect keeps vertical per-pixel steps aligned with world -Z
+    (architectCamera.cc:53-66) — tilted cameras must produce different
+    vup than perspective."""
+    from core_tpu.cameras import make_perspective, make_architect
+    kw = dict(pos=(0, -5, 1), look=(0, 0, 2), up=(0, -5, 2),
+              resx=32, resy=32)
+    p = make_perspective(**kw)
+    a = make_architect(**kw)
+    vup_p = np.asarray(p.vup)
+    vup_a = np.asarray(a.vup)
+    assert not np.allclose(vup_p, vup_a)
+    # architect vup is along world Z only
+    assert abs(vup_a[0]) < 1e-6 and abs(vup_a[1]) < 1e-6
