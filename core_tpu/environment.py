@@ -310,6 +310,8 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
         filter_size=rp.get_float("AA_pixelwidth", 1.5),
         gamma=rp.get_float("gamma", 1.0),
         clamp_rgb=rp.get_bool("clamp_rgb", False),
+        premult=rp.get_bool("premult", False),
+        show_sam_pix=rp.get_bool("show_sam_pix", False),
         integrator=integrator, integrator_opts=iopts, volume_opts=vopts,
         z_channel=rp.get_bool("z_channel", False))
 

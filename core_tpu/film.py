@@ -204,14 +204,19 @@ def normalized(film: Film):
     return film.rgba / jnp.maximum(film.weight[..., None], 1e-10)
 
 
-def flush(film: Film, gamma: float = 1.0, clamp: bool = False):
-    """Final image [H,W,4] with gamma correction (imageFilm_t::flush)."""
+def flush(film: Film, gamma: float = 1.0, clamp: bool = False,
+          premult: bool = False):
+    """Final image [H,W,4] with gamma correction (imageFilm_t::flush);
+    premult multiplies RGB by alpha for AA against the background
+    (createImageFilm 'premult', environment.cc:503)."""
     img = normalized(film)
     rgb = img[..., :3]
     if clamp:
         rgb = jnp.clip(rgb, 0.0, 1.0)
     if abs(gamma - 1.0) > 1e-3:
         rgb = jnp.power(jnp.maximum(rgb, 0.0), 1.0 / gamma)
+    if premult:
+        rgb = rgb * img[..., 3:4]
     return jnp.concatenate([rgb, img[..., 3:]], axis=-1)
 
 

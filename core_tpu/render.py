@@ -43,6 +43,7 @@ class RenderOptions:
     filter_size: float = 1.5
     gamma: float = 1.0
     clamp_rgb: bool = False
+    premult: bool = False         # premultiply alpha at flush (reference)
     spp_chunk: int = 4            # samples per device launch (memory bound)
     integrator: str = "directlight"
     integrator_opts: DirectOptions = field(default_factory=DirectOptions)
@@ -279,7 +280,8 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False,
             save_checkpoint(checkpoint_path, film, p + 1, offs)
     if progress is not None:
         progress.done()
-    img = film_mod.flush(film, gamma=opts.gamma, clamp=opts.clamp_rgb)
+    img = film_mod.flush(film, gamma=opts.gamma, clamp=opts.clamp_rgb,
+                         premult=opts.premult)
     if opts.show_sam_pix and opts.aa_passes > 1:
         flags = film_mod.next_pass_flags(film, opts.aa_threshold)
         mark = jnp.stack([jnp.ones_like(flags, jnp.float32),
