@@ -35,6 +35,8 @@ compile $REF/src/integrators/EmptyVolumeIntegrator.cc p_emptyvol.o -DregisterPlu
 compile $REF/src/materials/shinydiffuse.cc p_shinydiffuse.o -DregisterPlugin=registerPlugin_shinydiffuse
 compile $REF/src/materials/simple.cc p_simplemat.o -DregisterPlugin=registerPlugin_simplemat
 compile $REF/src/materials/mask.cc p_maskmat.o
+compile $REF/src/materials/glossy2.cc p_glossy.o -DregisterPlugin=registerPlugin_glossy
+compile $REF/src/materials/glass.cc p_glass.o -DregisterPlugin=registerPlugin_glass
 compile $REF/src/lights/arealight.cc p_arealight.o -DregisterPlugin=registerPlugin_arealight
 compile $REF/src/lights/bgportallight.cc p_bgportal.o
 compile $REF/src/lights/meshlight.cc p_meshlight.o

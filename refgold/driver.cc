@@ -31,6 +31,8 @@ void registerPlugin_shinydiffuse(renderEnvironment_t &);
 void registerPlugin_simplemat(renderEnvironment_t &);
 void registerPlugin_arealight(renderEnvironment_t &);
 void registerPlugin_cameras(renderEnvironment_t &);
+void registerPlugin_glossy(renderEnvironment_t &);
+void registerPlugin_glass(renderEnvironment_t &);
 }
 
 class goldenIface_t : public yafrayInterface_t {
@@ -116,6 +118,8 @@ int main(int argc, char **argv) {
     registerPlugin_simplemat(*env);
     registerPlugin_arealight(*env);
     registerPlugin_cameras(*env);
+    registerPlugin_glossy(*env);
+    registerPlugin_glass(*env);
 
     yi.setVerbosityWarning();
     yi.startScene();
@@ -138,6 +142,27 @@ int main(int argc, char **argv) {
     yi.paramsSetColor("color", 1.f, 1.f, 1.f);
     yi.paramsSetFloat("power", lpower);
     material_t *lightm = yi.createMaterial("lightmat");
+
+    // specular block materials (scenes.py cornell_box block_materials)
+    bool specular_blocks = argc > 8 && std::string(argv[8]) == "specular";
+    material_t *short_mat = white, *tall_mat = white;
+    if (specular_blocks) {
+        yi.paramsClearAll();
+        yi.paramsSetString("type", "glossy");
+        yi.paramsSetColor("color", 0.8f, 0.8f, 0.8f);
+        yi.paramsSetColor("diffuse_color", 0.3f, 0.3f, 0.3f);
+        yi.paramsSetFloat("glossy_reflect", 0.7);
+        yi.paramsSetFloat("diffuse_reflect", 1.0);
+        yi.paramsSetFloat("exponent", 120.0);
+        yi.paramsSetBool("as_diffuse", false);
+        short_mat = yi.createMaterial("glossymat");
+        yi.paramsClearAll();
+        yi.paramsSetString("type", "glass");
+        yi.paramsSetFloat("IOR", 1.5);
+        yi.paramsSetColor("filter_color", 1.f, 1.f, 1.f);
+        yi.paramsSetFloat("transmit_filter", 1.0);
+        tall_mat = yi.createMaterial("glassmat");
+    }
 
     // --- geometry (scenes.py:78-117) ---
     yi.startGeometry();
@@ -169,9 +194,9 @@ int main(int argc, char **argv) {
         setq(552.8, 0, 0, 549.6, 0, 559.2, 556, 548.8, 559.2, 556, 548.8, 0);
         addQuad(yi, red, q);
         double c1[3] = {130.0, 0.0, 65.0};
-        addBox(yi, white, c1, 160, 160, 165, -18.0);
+        addBox(yi, short_mat, c1, 160, 160, 165, -18.0);
         double c2[3] = {265.0, 0.0, 296.0};
-        addBox(yi, white, c2, 160, 160, 330, 17.0);
+        addBox(yi, tall_mat, c2, 160, 160, 330, 17.0);
     }
     yi.endTriMesh();
 
