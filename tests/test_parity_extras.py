@@ -150,3 +150,50 @@ def test_badge_draws_text():
     assert (out[-20:] > 0.5).any()          # text pixels lit
     assert (out[:40] == 0).all()            # image area untouched
     assert text_mask("core_tpu 0.1.0").any()
+
+
+def test_curve_writer_loader_roundtrip(tmp_path):
+    """XmlInterface curve export parses back into the same tessellation."""
+    import io
+    from core_tpu.io.xml_writer import XmlInterface
+    from core_tpu.io.xml_loader import parse_xml_scene
+    x = XmlInterface()
+    x.params_clear()
+    x.params_set_string("type", "shinydiffusemat")
+    x.params_set_color("color", 0.7, 0.7, 0.7)
+    x.create_material("m")
+    x.start_curve_mesh()
+    for p in [(0, 0, 0), (0, 0, 1), (0, 0.2, 2)]:
+        x.add_vertex(*p)
+    x.end_curve_mesh("m", 0.05, 0.01, 0.0)
+    x.params_clear()
+    x.params_set_string("type", "pointlight")
+    x.params_set_point("from", 1, 1, 1)
+    x.params_set_color("color", 1, 1, 1)
+    x.params_set_float("power", 5)
+    x.create_light("l")
+    x.params_clear()
+    x.params_set_string("type", "perspective")
+    x.params_set_point("from", 3, 0, 1)
+    x.params_set_point("to", 0, 0, 1)
+    x.params_set_point("up", 3, 1, 1)
+    x.params_set_int("resx", 8)
+    x.params_set_int("resy", 8)
+    x.create_camera("cam")
+    x.params_clear()
+    x.params_set_string("type", "directlighting")
+    x.create_integrator("surf")
+    x.params_clear()
+    x.params_set_string("type", "none")
+    x.create_integrator("vol")
+    # render-block params (written by render())
+    x.params_clear()
+    x.params_set_string("camera_name", "cam")
+    x.params_set_string("integrator_name", "surf")
+    x.params_set_string("volintegrator_name", "vol")
+    x.params_set_int("width", 8)
+    x.params_set_int("height", 8)
+    f = tmp_path / "curve_rt.xml"
+    x.render(str(f))
+    scene, opts = parse_xml_scene(str(f))
+    assert scene.geom.n_tris == 1 + 6 * 2 + 1
