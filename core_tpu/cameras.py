@@ -199,6 +199,27 @@ def _lens_uv(cam: Camera, r1, r2):
     return shirley_disk(r1, r2)
 
 
+def project(cam: Camera, d):
+    """Project world directions d [N,3] (from the camera position) to
+    continuous pixel coordinates — the inverse of shoot_ray's image-plane
+    mapping (reference perspectiveCam_t::project,
+    perspectiveCamera.cc:168-187).  Returns (px, py, cos_to_axis, ok);
+    ok is False for directions behind the camera or outside the image.
+    Supported for perspective/architect (the reference implements project
+    only for the perspective family too)."""
+    dx = d @ cam.cam_x
+    dy = d @ cam.cam_y
+    dz = d @ cam.cam_z
+    front = dz > 1e-6
+    dz_safe = jnp.where(front, dz, 1.0)
+    u = dx * cam.focal / dz_safe
+    v = dy * cam.focal / (dz_safe * cam.aspect_ratio)
+    ok = front & (u >= -0.5) & (u <= 0.5) & (v >= -0.5) & (v <= 0.5)
+    px = (u + 0.5) * cam.resx
+    py = (v + 0.5) * cam.resy
+    return px, py, dz, ok
+
+
 def shoot_ray(cam: Camera, px, py, lu=None, lv=None) -> tuple[Rays, jnp.ndarray]:
     """Generate camera rays.  px,py: continuous pixel coords arrays [N].
     Returns (rays, weight).  Weight 0 marks rays outside the image mapping

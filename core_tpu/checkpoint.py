@@ -27,6 +27,8 @@ def save_checkpoint(path: str, film: Film, pass_idx: int, sample_offs: int,
     with open(tmp, "wb") as f:
         np.savez(f, magic=MAGIC,
                  rgba=np.asarray(film.rgba), weight=np.asarray(film.weight),
+                 density=np.asarray(film.density),
+                 n_density=np.asarray(film.n_density),
                  pass_idx=pass_idx, sample_offs=sample_offs,
                  meta=json.dumps(meta or {}))
     os.replace(tmp, path)
@@ -38,7 +40,12 @@ def load_checkpoint(path: str):
         return None
     with np.load(path, allow_pickle=False) as z:
         assert str(z["magic"]) == MAGIC, "not a core_tpu checkpoint"
+        h, w = z["weight"].shape
         film = Film(rgba=jnp.asarray(z["rgba"]),
-                    weight=jnp.asarray(z["weight"]))
+                    weight=jnp.asarray(z["weight"]),
+                    density=jnp.asarray(z["density"]) if "density" in z
+                    else jnp.zeros((h, w, 3), jnp.float32),
+                    n_density=jnp.asarray(z["n_density"]) if "n_density" in z
+                    else jnp.zeros((), jnp.float32))
         return (film, int(z["pass_idx"]), int(z["sample_offs"]),
                 json.loads(str(z["meta"])))

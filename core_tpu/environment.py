@@ -265,7 +265,8 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
         integrator = "bidirectional"
         iopts = BidirOptions(
             eye_depth=min(raydepth, 6), light_depth=min(raydepth, 6),
-            transp_background=rp.get_bool("bg_transp", False))
+            transp_background=rp.get_bool("bg_transp", False),
+            do_light_image=ip.get_bool("do_LightImage", True))
     elif itype == "DebugIntegrator":
         from core_tpu.integrators.debug import DebugOptions
         integrator = "debug"
@@ -745,7 +746,52 @@ def _bg_gradient(b: SceneBuilder, name, p: ParamMap, extra):
     return bg
 
 
-@register("background", "sunsky", "darksky")
+@register("background", "darksky")
+def _bg_darksky(b: SceneBuilder, name, p: ParamMap, extra):
+    """TheBounty darksky (src/backgrounds/darksky.cc:factory): spectral
+    daylight with color-space selection, night mode, auto 'Real Sun'
+    (attenuated spectral sun color) and auto background light."""
+    from core_tpu.backgrounds import (make_darksky_background,
+                                      darksky_sun_color)
+    turb = p.get_float("turbidity", 4.0)
+    night = p.get_bool("night", False)
+    bright = p.get_float("bright", 1.0)
+    sun_power = p.get_float("sun_power", 1.0)
+    if night:
+        bright *= 0.5
+        sun_power *= 0.5
+    bg = make_darksky_background(
+        sun_dir=p.get_point("from", (1, 1, 1)),
+        turbidity=turb,
+        a_var=p.get_float("a_var", 1.0), b_var=p.get_float("b_var", 1.0),
+        c_var=p.get_float("c_var", 1.0), d_var=p.get_float("d_var", 1.0),
+        e_var=p.get_float("e_var", 1.0),
+        power=p.get_float("power", 1.0), bright=bright,
+        altitude=p.get_float("altitude", 0.0), night=night,
+        exposure=p.get_float("exposure", 1.0),
+        color_space=p.get_str("color_space", "CIE (E)"),
+        ibl=p.get_bool("background_light", False),
+        ibl_samples=p.get_int("light_samples", 8))
+    b.background = bg
+    d = np.asarray(p.get_point("from", (1, 1, 1)), np.float64)
+    dn = d / max(np.linalg.norm(d), 1e-20)
+    if p.get_bool("add_sun", False) and \
+            np.degrees(np.arccos(np.clip(d[2], -1.0, 1.0))) < 100.0:
+        from core_tpu.lights.sun import make_sun_light
+        suncol = darksky_sun_color(bg, turb)
+        b.lights.append(make_sun_light(
+            direction=dn, color=suncol, power=sun_power,
+            angle=float(0.5 * (2.0 - dn[2])),
+            samples=p.get_int("light_samples", 8)))
+    if p.get_bool("background_light", False):
+        def make(builder, name, pp, scene):
+            from core_tpu.lights.bg import make_bg_light
+            return make_bg_light(bg, samples=pp.get_int("light_samples", 8))
+        b._deferred_lights.append((make, "darksky_bglight", p))
+    return bg
+
+
+@register("background", "sunsky")
 def _bg_sunsky(b: SceneBuilder, name, p: ParamMap, extra):
     from core_tpu.backgrounds import make_sunsky_background
     bg = make_sunsky_background(

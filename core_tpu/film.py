@@ -35,13 +35,17 @@ class FilterType(enum.IntEnum):
 
 
 class Film(NamedTuple):
-    rgba: jnp.ndarray     # [H,W,4] weighted sums
-    weight: jnp.ndarray   # [H,W]
+    rgba: jnp.ndarray       # [H,W,4] weighted sums
+    weight: jnp.ndarray     # [H,W]
+    density: jnp.ndarray    # [H,W,3] light-image sums (imagefilm.cc:566-614)
+    n_density: jnp.ndarray  # [] f32: light paths traced (setNumSamples)
 
 
 def make_film(h: int, w: int) -> Film:
     return Film(rgba=jnp.zeros((h, w, 4), jnp.float32),
-                weight=jnp.zeros((h, w), jnp.float32))
+                weight=jnp.zeros((h, w), jnp.float32),
+                density=jnp.zeros((h, w, 3), jnp.float32),
+                n_density=jnp.zeros((), jnp.float32))
 
 
 def effective_filterw(filter_size: float, ftype: FilterType) -> float:
@@ -130,7 +134,8 @@ def add_samples(film: Film, x, y, dx, dy, col_rgba,
     wgt = jnp.concatenate(wgt_all)
     rgba = rgba.at[idx].add(wcol)
     weight = weight.at[idx].add(wgt)
-    return Film(rgba=rgba.reshape(h, w, 4), weight=weight.reshape(h, w))
+    return film._replace(rgba=rgba.reshape(h, w, 4),
+                         weight=weight.reshape(h, w))
 
 
 def add_samples_grid(film: Film, dx, dy, col_rgba, spp: int,
@@ -196,7 +201,31 @@ def add_samples_grid(film: Film, dx, dy, col_rgba, spp: int,
                 acc_w = acc_w + shift(fw_val, j, i)
 
     rgba = film.rgba + jnp.stack([acc_r, acc_g, acc_b, acc_a], axis=-1)
-    return Film(rgba=rgba, weight=film.weight + acc_w)
+    return film._replace(rgba=rgba, weight=film.weight + acc_w)
+
+
+def add_density_samples(film: Film, x, y, col_rgb, n_paths,
+                        sample_mask=None) -> Film:
+    """Splat light-traced (t=1) contributions into the density image
+    (imageFilm_t::addDensitySample, imagefilm.cc:566-614; the reference
+    splats with the AA filter — here a box splat at the projected pixel,
+    since the light image is normalized by path count, not filter weight).
+
+    x, y: float pixel coordinates [N]; col_rgb: [N,3]; n_paths: how many
+    light paths this wavefront traced (counted whether or not they reached
+    the image — imagefilm.cc:612 counts every addDensitySample call, but
+    bidirpath.cc:146 overrides with the true path count at cleanup)."""
+    h, w = film.weight.shape
+    px = jnp.floor(x).astype(jnp.int32)
+    py = jnp.floor(y).astype(jnp.int32)
+    ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    if sample_mask is not None:
+        ok = ok & sample_mask
+    col = jnp.where(ok[..., None], col_rgb, 0.0)
+    flat = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
+    dens = film.density.reshape(-1, 3).at[flat].add(col)
+    return film._replace(density=dens.reshape(h, w, 3),
+                         n_density=film.n_density + n_paths)
 
 
 def normalized(film: Film):
@@ -208,9 +237,14 @@ def flush(film: Film, gamma: float = 1.0, clamp: bool = False,
           premult: bool = False):
     """Final image [H,W,4] with gamma correction (imageFilm_t::flush);
     premult multiplies RGB by alpha for AA against the background
-    (createImageFilm 'premult', environment.cc:503)."""
+    (createImageFilm 'premult', environment.cc:503).  The light image is
+    merged in scaled by (w*h / n_paths) exactly like the reference
+    (imagefilm.cc:402,411)."""
     img = normalized(film)
     rgb = img[..., :3]
+    h, w = film.weight.shape
+    multi = (w * h) / jnp.maximum(film.n_density, 1.0)
+    rgb = rgb + film.density * multi
     if clamp:
         rgb = jnp.clip(rgb, 0.0, 1.0)
     if abs(gamma - 1.0) > 1e-3:

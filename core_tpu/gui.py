@@ -65,16 +65,30 @@ class CallbackOutput:
 
 class LiveView:
     """HTTP live preview: GET / (auto-refresh page), /frame.png (latest
-    film), /abort (cooperative cancel — the reference's scene abort
-    signal, scene.h:124-126)."""
+    film), /abort and /pause — the reference's cooperative scene signals
+    Y_SIG_ABORT / Y_SIG_PAUSE (scene.h:124-126), polled between sample
+    chunks the way the reference polls between scanlines
+    (integrator.cc:69,218,255)."""
 
     def __init__(self, port: int = 0, gamma: float = 2.2):
         self.gamma = gamma
         self._png = b""
         self._lock = threading.Lock()
         self.aborted = False
+        self._resume = threading.Event()
+        self._resume.set()
         self._srv = None
         self.port = port
+
+    @property
+    def paused(self) -> bool:
+        return not self._resume.is_set()
+
+    def pause(self):
+        self._resume.clear()
+
+    def resume(self):
+        self._resume.set()
 
     # --- on_flush hook ---
     def __call__(self, img, pass_idx, chunk_idx):
@@ -86,6 +100,11 @@ class LiveView:
             self._png = png
         if self.aborted:
             raise KeyboardInterrupt("render aborted from live view")
+        # cooperative pause: block the render loop until resumed (abort
+        # still wins so a paused render can be cancelled)
+        while not self._resume.wait(timeout=0.25):
+            if self.aborted:
+                raise KeyboardInterrupt("render aborted from live view")
 
     def start(self):
         import http.server
@@ -107,15 +126,25 @@ class LiveView:
                     self.wfile.write(body)
                 elif self.path.startswith("/abort"):
                     view.aborted = True
+                    view._resume.set()
                     self.send_response(200)
                     self.end_headers()
                     self.wfile.write(b"aborting")
+                elif self.path.startswith("/pause"):
+                    if view.paused:
+                        view.resume()
+                    else:
+                        view.pause()
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(b"paused" if view.paused else b"resumed")
                 else:
                     page = (b"<html><head><meta http-equiv='refresh' "
                             b"content='1'></head><body style='background:"
                             b"#222'><img src='/frame.png'/> "
-                            b"<a href='/abort' style='color:#ccc'>abort</a>"
-                            b"</body></html>")
+                            b"<a href='/abort' style='color:#ccc'>abort</a> "
+                            b"<a href='/pause' style='color:#ccc'>pause/"
+                            b"resume</a></body></html>")
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
                     self.end_headers()

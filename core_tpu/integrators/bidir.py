@@ -19,6 +19,10 @@ Strategies per path length k (k segments):
   s=0  eye path hits an emitter            (emission term)
   s=1  next-event estimation at eye vertex (one light sample)
   s>=2 connection eye_i <-> light_j (j = s-1 surface vertices from light)
+  t=1  light vertex connected to the camera — splatted into the film's
+       light image (the reference's density buffer: bidirpath.cc:239-262
+       connectPathE/evalPathE -> imageFilm_t::addDensitySample), merged at
+       flush scaled by w*h/n_paths (imagefilm.cc:402,411).
 """
 from __future__ import annotations
 
@@ -44,6 +48,7 @@ class BidirOptions:
     eye_depth: int = 3          # eye subpath surface vertices
     light_depth: int = 3        # light subpath surface vertices
     transp_background: bool = False
+    do_light_image: bool = True  # t=1 light-tracing splats (_DO_LIGHTIMAGE)
 
 
 class _Vertex:
@@ -132,11 +137,17 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
                             dim0=25)
 
     L = len(light_verts)
+    light_image = opts.do_light_image and L > 0 \
+        and scene.camera is not None
 
     def n_strategies(k: int) -> float:
-        """Techniques producing a complete length-k path: s=0, s=1, and
-        connections with j=1..min(L, k-2) light surface vertices."""
-        return float(2 + max(0, min(L, k - 2)))
+        """Techniques producing a complete length-k path: s=0, s=1,
+        connections with j=1..min(L, k-2) light surface vertices, and (when
+        the light image is on) the t=1 camera splat for 2 <= k <= L+1."""
+        n = 2 + max(0, min(L, k - 2))
+        if light_image and 2 <= k <= L + 1:
+            n += 1
+        return float(n)
 
     col = jnp.zeros((n, 3), jnp.float32)
 
@@ -183,10 +194,50 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
                 * lv.throughput * w
             col = col + jnp.where(ok[..., None], contrib, 0.0)
 
+    # ---- t=1: connect each light vertex to the camera (light image) ----
+    splat = None
+    if light_image:
+        from core_tpu.cameras import project
+        cam = scene.camera
+        sxs, sys, scols, smasks = [], [], [], []
+        for j, lv in enumerate(light_verts):
+            k = j + 2                      # light->v0, j internal, v_j->eye
+            w = 1.0 / n_strategies(k)
+            delta = cam.pos[None] - lv.sp.p
+            r2 = jnp.sum(delta * delta, axis=-1)
+            r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+            dir_le = delta / r[..., None]  # light vertex -> eye
+            px, py, cos_e, okp = project(cam, -dir_le)
+            f_l = dispatch.eval_bsdf(types_present, lv.p, lv.sp, lv.wo,
+                                     dir_le, BSDF.ALL)
+            cos_l = jnp.abs(dot(lv.sp.n, dir_le))
+            vray = Rays(o=lv.sp.p, d=dir_le,
+                        tmin=jnp.full(n, SHADOW_BIAS),
+                        tmax=r - SHADOW_BIAS)
+            shadowed = scene_mod.any_hit(scene, vray,
+                                         exclude_prim=lv.sp.prim)
+            # pixel-area-per-solid-angle Jacobian of the image-plane map:
+            # the plane sits at distance `focal` with world area
+            # 1 x aspect_ratio, so d(normalized pixel area)/dw =
+            # focal^2 / (cos^3 * aspect); flush's w*h/n_paths supplies the
+            # per-pixel scale (imagefilm.cc:402)
+            cos_e3 = jnp.maximum(cos_e, 1e-6) ** 3
+            jac = (cam.focal * cam.focal) / (cos_e3 * cam.aspect_ratio)
+            contrib = lv.throughput * f_l \
+                * (cos_l / jnp.maximum(r2, 1e-8) * jac * w)[..., None]
+            ok = lv.active & okp & (~shadowed)
+            sxs.append(px)
+            sys.append(py)
+            scols.append(jnp.where(ok[..., None], contrib, 0.0))
+            smasks.append(ok)
+        splat = (jnp.concatenate(sxs), jnp.concatenate(sys),
+                 jnp.concatenate(scols), jnp.concatenate(smasks),
+                 jnp.asarray(float(n), jnp.float32))
+
     # background on primary miss
     bg = eval_background(scene.background, rays.d) \
         if scene.background is not None else jnp.zeros_like(rays.d)
     col = jnp.where(primary_valid[..., None], col, bg)
     alpha = jnp.where(primary_valid, 1.0,
                       0.0 if opts.transp_background else 1.0)
-    return jnp.concatenate([col, alpha[..., None]], axis=-1)
+    return jnp.concatenate([col, alpha[..., None]], axis=-1), splat

@@ -87,10 +87,8 @@ def render_chunk_sharded(scene, types_present, opts: RenderOptions,
         local = render_chunk(scene, types_present, opts, local, pass_offs,
                              spp_local, sample0 + si * spp_local, None,
                              y0=y0, rows=rows)
-        contrib = jax.lax.psum(
-            Film(rgba=local.rgba, weight=local.weight), ("tiles", "spp"))
-        return Film(rgba=film.rgba + contrib.rgba,
-                    weight=film.weight + contrib.weight)
+        contrib = jax.lax.psum(local, ("tiles", "spp"))
+        return jax.tree.map(lambda a, b: a + b, film, contrib)
 
     # check_vma=False: the pixel grid is derived from axis_index inside the
     # body, which the varying-axes checker can't prove replicated; the psum

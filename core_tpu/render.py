@@ -156,10 +156,17 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     rays, wt = shoot_ray(cam, px, py, lens_u, lens_v)
 
     integ = _integrator_fn(opts)
+    density_splat = None
     if aux is not None:
         rgba = integ(scene, types_present, rays,
                      pixel_sample.astype(jnp.int32), sampling_offs,
                      opts.integrator_opts, aux=aux)
+    elif opts.integrator == "bidirectional":
+        # bidir additionally returns t=1 light-image splats (the
+        # reference's density buffer, bidirpath.cc:239-262)
+        rgba, density_splat = integ(scene, types_present, rays,
+                                    pixel_sample.astype(jnp.int32),
+                                    sampling_offs, opts.integrator_opts)
     else:
         rgba = integ(scene, types_present, rays,
                      pixel_sample.astype(jnp.int32), sampling_offs,
@@ -184,6 +191,10 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
 
     mask = wt > 0.0
     filterw = film_mod.effective_filterw(opts.filter_size, opts.filter_type)
+    if density_splat is not None:
+        sx, sy, scol, smask, n_paths = density_splat
+        film = film_mod.add_density_samples(film, sx, sy, scol, n_paths,
+                                            sample_mask=smask)
     if grid_fast:
         if resample_mask is not None:
             mask = mask & jnp.broadcast_to(resample_mask,

@@ -45,6 +45,13 @@ def test_liveview_serves_png_and_abort():
         page = urllib.request.urlopen(
             f"http://127.0.0.1:{port}/", timeout=10).read()
         assert b"frame.png" in page
+        # pause toggles the cooperative Y_SIG_PAUSE analog
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/pause",
+                               timeout=10).read()
+        assert view.paused
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/pause",
+                               timeout=10).read()
+        assert not view.paused
         urllib.request.urlopen(f"http://127.0.0.1:{port}/abort",
                                timeout=10).read()
         assert view.aborted
