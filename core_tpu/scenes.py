@@ -2,6 +2,9 @@
 
 cornell_box: config #1/#2 — the classic Cornell box with an area light,
 shiny-diffuse walls and (optionally) glossy/glass blocks.
+mesh_scene: config #3 — a ~100k-triangle displaced-terrain + torus mesh with
+procedural-texture-mapped materials, a texture-environment background with
+importance-sampled IBL (bglight 2-D luminance CDF) and a sun light.
 """
 from __future__ import annotations
 
@@ -131,3 +134,131 @@ def cornell_box(resx=256, resy=256, light_samples=16, light_power=30.0,
                  mat_types=tuple(sorted({int(d.mtype) for d in mats})),
                  intersector=__import__("core_tpu.scene", fromlist=["x"])
                  .resolve_intersector(intersector, geom.n_tris))
+
+
+def _terrain_height(x, z):
+    """Deterministic multi-octave displacement (pure numpy, build time)."""
+    h = np.zeros_like(x)
+    for freq, amp, px, pz in ((0.7, 0.55, 0.0, 1.3), (1.7, 0.22, 2.1, 0.4),
+                              (3.9, 0.11, 4.2, 5.0), (8.3, 0.05, 1.1, 2.7)):
+        h = h + amp * np.sin(freq * x + px) * np.cos(freq * z + pz)
+    return h
+
+
+def _grid_mesh(a, m, n, extent, mat, uv_tiles=4.0):
+    """n x n vertex grid on the XZ plane, displaced by _terrain_height.
+    Bulk-extends the assembler's python lists (build-time numpy)."""
+    xs = np.linspace(-extent, extent, n)
+    zs = np.linspace(-extent, extent, n)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    Y = _terrain_height(X, Z)
+    base_v = len(m.verts)
+    base_uv = len(m.uvs)
+    verts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    m.verts.extend(map(tuple, verts))
+    U, V = np.meshgrid(np.linspace(0, uv_tiles, n),
+                       np.linspace(0, uv_tiles, n), indexing="ij")
+    m.uvs.extend(map(tuple, np.stack([U, V], -1).reshape(-1, 2)))
+    i, j = np.meshgrid(np.arange(n - 1), np.arange(n - 1), indexing="ij")
+    v00 = (i * n + j).ravel() + base_v
+    v01 = v00 + 1
+    v10 = v00 + n
+    v11 = v10 + 1
+    f1 = np.stack([v00, v10, v11], axis=-1)
+    f2 = np.stack([v00, v11, v01], axis=-1)
+    faces = np.concatenate([f1, f2], axis=0)
+    m.faces.extend(map(tuple, faces))
+    uvf = faces - base_v + base_uv
+    m.face_uvs.extend(map(tuple, uvf))
+    m.face_mats.extend([mat] * len(faces))
+    return len(faces)
+
+
+def _torus_mesh(a, m, nu, nv, R, r, center, mat):
+    """Parametric torus with UVs (bulk numpy)."""
+    us = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    vs = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    U, V = np.meshgrid(us, vs, indexing="ij")
+    cx, cy, cz = center
+    x = (R + r * np.cos(V)) * np.cos(U) + cx
+    z = (R + r * np.cos(V)) * np.sin(U) + cz
+    y = r * np.sin(V) + cy
+    base_v = len(m.verts)
+    base_uv = len(m.uvs)
+    m.verts.extend(map(tuple, np.stack([x, y, z], -1).reshape(-1, 3)))
+    m.uvs.extend(map(tuple, np.stack(
+        [U / (2 * np.pi) * 8.0, V / (2 * np.pi) * 2.0], -1).reshape(-1, 2)))
+    i, j = np.meshgrid(np.arange(nu), np.arange(nv), indexing="ij")
+    i1 = (i + 1) % nu
+    j1 = (j + 1) % nv
+    v00 = (i * nv + j).ravel() + base_v
+    v01 = (i * nv + j1).ravel() + base_v
+    v10 = (i1 * nv + j).ravel() + base_v
+    v11 = (i1 * nv + j1).ravel() + base_v
+    faces = np.concatenate([np.stack([v00, v10, v11], -1),
+                            np.stack([v00, v11, v01], -1)], axis=0)
+    m.faces.extend(map(tuple, faces))
+    m.face_uvs.extend(map(tuple, faces - base_v + base_uv))
+    m.face_mats.extend([mat] * len(faces))
+    return len(faces)
+
+
+def mesh_scene(resx=256, resy=256, n_grid=160, torus_u=180, torus_v=64,
+               ibl_samples=8, sun_samples=4):
+    """Driver config #3: ~100k-triangle mesh scene with texture-mapped
+    materials and environment/background light importance sampling.
+
+    Geometry: displaced terrain grid ((n_grid-1)^2 * 2 tris) + a smooth
+    torus (torus_u * torus_v * 2 tris); defaults give ~73.6k tris — pass
+    n_grid=200, torus_u=220, torus_v=72 for ~111k.  Materials: terrain is
+    shiny-diffuse with a marble diffuse texture; the torus is glossy with a
+    voronoi-driven diffuse.  Background: clouds texture environment with
+    ibl=True, so compile creates the importance-sampled bglight (reference
+    bglight.cc 2-D luminance CDF).  A sun light adds a dirac-ish key."""
+    from core_tpu.environment import SceneBuilder
+    from core_tpu.params import ParamMap
+    from core_tpu.cameras import make_perspective
+
+    b = SceneBuilder()
+    b.create("texture", "rockmarble", ParamMap({
+        "type": "marble", "color1": (0.22, 0.18, 0.14),
+        "color2": (0.75, 0.7, 0.62), "size": 2.3, "depth": 3,
+        "turbulence": 4.0, "sharpness": 2.0, "noise_type": "newperlin"}))
+    b.create("texture", "cellvor", ParamMap({
+        "type": "voronoi", "color1": (0.05, 0.12, 0.3),
+        "color2": (0.9, 0.85, 0.6), "size": 1.4, "pattern": "f2f1",
+        "intensity": 1.6}))
+    b.create("texture", "skytex", ParamMap({
+        "type": "clouds", "color1": (0.25, 0.45, 0.9),
+        "color2": (1.0, 0.98, 0.92), "size": 0.8, "depth": 3,
+        "noise_type": "stdperlin"}))
+
+    b.create("material", "terrain", ParamMap({
+        "type": "shinydiffusemat", "color": (0.7, 0.7, 0.7),
+        "diffuse_reflect": 0.9, "diffuse_shader": "rockmarble"}))
+    b.create("material", "torus", ParamMap({
+        "type": "glossy", "diffuse_color": (0.4, 0.4, 0.45),
+        "color": (0.7, 0.7, 0.75), "glossy_reflect": 0.35,
+        "exponent": 80.0, "as_diffuse": False,
+        "diffuse_shader": "cellvor"}))
+
+    m = b.assembler.start_mesh()
+    _grid_mesh(b.assembler, m, n_grid, 6.0, b.material_index("terrain"))
+    b.assembler.smooth_mesh(m, 80.0)
+    m2 = b.assembler.start_mesh()
+    _torus_mesh(b.assembler, m2, torus_u, torus_v, 1.5, 0.55,
+                (0.0, 1.6, 0.0), b.material_index("torus"))
+    b.assembler.smooth_mesh(m2, 80.0)
+
+    b.create("background", "world", ParamMap({
+        "type": "textureback", "texture": "skytex", "ibl": True,
+        "ibl_samples": ibl_samples, "power": 1.0}))
+    b.create("light", "sun", ParamMap({
+        "type": "sunlight", "direction": (0.45, 0.8, 0.3),
+        "color": (1.0, 0.95, 0.85), "power": 1.6, "angle": 0.5,
+        "samples": sun_samples}))
+
+    b.camera = make_perspective(pos=(5.2, 3.4, -5.6), look=(0.0, 1.2, 0.0),
+                                up=(5.2, 4.4, -5.6), resx=resx, resy=resy,
+                                focal=1.25)
+    return b.compile_scene()
