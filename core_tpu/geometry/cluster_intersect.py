@@ -19,6 +19,16 @@ gathers or stacks —
           granularity.  Output blocks stay VMEM-resident across the
           cluster sweep (grid iterates clusters innermost).
 
+Ray inputs are ten separate [rows, 128] refs (see pallas_intersect.py:
+stacked [3, rows, 128] inputs cost a full HBM copy per component per
+launch; [N] -> [rows, 128] reshapes are free).
+
+The any-hit (shadow) variant is a dedicated kernel: division-free
+sign-folded Möller-Trumbore (no per-triangle reciprocal), a single i32
+occlusion carry instead of t/prim/u/v, and tiles whose lanes are all
+occluded skip every remaining cluster's triangle loop (the AABB gate
+drops lanes that already hit).
+
 Cost model: DMA = C x 10 KB per 1024-ray tile (fully overlapped); compute
 = (clusters AABB-hit by the tile) x 256 MT tests.  Coherent tiles
 (camera rays, shadow rays toward one light) touch a handful of clusters.
@@ -108,8 +118,28 @@ def build_clusters(verts: np.ndarray, tri_vidx: np.ndarray,
     return ClusterData(aabb=jnp.asarray(aabb), tris=jnp.asarray(tris))
 
 
-def _kernel(csize: int, any_hit: bool,
-            aabb_ref, tri_ref, o_ref, d_ref, lim_ref, excl_ref,
+def _slab_test(aabb_ref, c, ox, oy, oz, dx, dy, dz, tmin, tcap):
+    """Per-lane ray/AABB interval overlap for cluster c (SMEM scalars)."""
+    eps = 1e-20
+
+    def axis_int(o, d, b0, b1):
+        inv = 1.0 / jnp.where(jnp.abs(d) < eps,
+                              jnp.where(d < 0, -eps, eps), d)
+        q0 = (b0 - o) * inv
+        q1 = (b1 - o) * inv
+        return jnp.minimum(q0, q1), jnp.maximum(q0, q1)
+
+    nx, fx = axis_int(ox, dx, aabb_ref[c, 0], aabb_ref[c, 3])
+    ny, fy = axis_int(oy, dy, aabb_ref[c, 1], aabb_ref[c, 4])
+    nz, fz = axis_int(oz, dz, aabb_ref[c, 2], aabb_ref[c, 5])
+    tn = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, tmin))
+    tf = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, tcap))
+    return tn <= tf
+
+
+def _kernel(csize: int,
+            aabb_ref, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+            dz_ref, tmin_ref, tcap_ref, ex0_ref, ex1_ref,
             t_ref, prim_ref, u_ref, v_ref):
     c = pl.program_id(1)
 
@@ -120,44 +150,22 @@ def _kernel(csize: int, any_hit: bool,
         u_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
         v_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
 
-    ox = o_ref[0]
-    oy = o_ref[1]
-    oz = o_ref[2]
-    dx = d_ref[0]
-    dy = d_ref[1]
-    dz = d_ref[2]
-    tmin = lim_ref[0]
-    tcap = jnp.minimum(lim_ref[1], t_ref[...])
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    tmin = tmin_ref[...]
+    tcap = jnp.minimum(tcap_ref[...], t_ref[...])
 
-    # cluster AABB slab test over all lanes (SMEM scalars broadcast)
-    bx0 = aabb_ref[c, 0]
-    by0 = aabb_ref[c, 1]
-    bz0 = aabb_ref[c, 2]
-    bx1 = aabb_ref[c, 3]
-    by1 = aabb_ref[c, 4]
-    bz1 = aabb_ref[c, 5]
-    eps = 1e-20
-
-    def axis_int(o, d, b0, b1):
-        inv = 1.0 / jnp.where(jnp.abs(d) < eps,
-                              jnp.where(d < 0, -eps, eps), d)
-        q0 = (b0 - o) * inv
-        q1 = (b1 - o) * inv
-        return jnp.minimum(q0, q1), jnp.maximum(q0, q1)
-
-    nx, fx = axis_int(ox, dx, bx0, bx1)
-    ny, fy = axis_int(oy, dy, by0, by1)
-    nz, fz = axis_int(oz, dz, bz0, bz1)
-    tn = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, tmin))
-    tf = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, tcap))
-    box_hit = tn <= tf
-    if any_hit:
-        box_hit = box_hit & (prim_ref[...] < 0)
+    box_hit = _slab_test(aabb_ref, c, ox, oy, oz, dx, dy, dz, tmin, tcap)
 
     @pl.when(jnp.any(box_hit))
     def _cluster_body():
-        ex0 = excl_ref[0]
-        ex1 = excl_ref[1]
+        ex0 = ex0_ref[...]
+        ex1 = ex1_ref[...]
+        tlim = tcap_ref[...]
 
         def body(k, carry):
             bt, bp, bu, bv = carry
@@ -187,7 +195,7 @@ def _kernel(csize: int, any_hit: bool,
             v = (dx * qx + dy * qy + dz * qz) * inv_det
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
-                & (u + v <= 1.0) & (t > tmin) & (t < lim_ref[1]) \
+                & (u + v <= 1.0) & (t > tmin) & (t < tlim) \
                 & (t < bt) & (tid != ex0) & (tid != ex1) & (tid >= 0) \
                 & box_hit
             bt = jnp.where(ok, t, bt)
@@ -204,31 +212,93 @@ def _kernel(csize: int, any_hit: bool,
         v_ref[...] = bv
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_clusters", "any_hit", "interpret"))
-def _run_clusters(aabb, tris, o3, d3, lim, excl, n_clusters: int,
-                  any_hit: bool, interpret: bool = False):
+def _any_kernel(csize: int,
+                aabb_ref, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                dz_ref, tmin_ref, tcap_ref, ex0_ref, ex1_ref, hit_ref):
+    """Shadow-ray cluster sweep: division-free sign-folded MT, a single
+    occlusion carry, and already-occluded lanes drop out of the AABB gate
+    so fully-occluded tiles skip all remaining clusters' triangle loops."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        hit_ref[...] = jnp.zeros((SUB, LANES), jnp.int32)
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    tmin = tmin_ref[...]
+    tcap = tcap_ref[...]
+
+    box_hit = _slab_test(aabb_ref, c, ox, oy, oz, dx, dy, dz, tmin, tcap)
+    box_hit = box_hit & (hit_ref[...] == 0)
+
+    @pl.when(jnp.any(box_hit))
+    def _cluster_body():
+        ex0 = ex0_ref[...]
+        ex1 = ex1_ref[...]
+
+        def body(k, hit):
+            v0x = tri_ref[0, k, 0]
+            v0y = tri_ref[0, k, 1]
+            v0z = tri_ref[0, k, 2]
+            e1x = tri_ref[0, k, 3]
+            e1y = tri_ref[0, k, 4]
+            e1z = tri_ref[0, k, 5]
+            e2x = tri_ref[0, k, 6]
+            e2y = tri_ref[0, k, 7]
+            e2z = tri_ref[0, k, 8]
+            tid = tri_ref[0, k, 9].astype(jnp.int32)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            s = jnp.where(det < 0.0, -1.0, 1.0)
+            dd = jnp.abs(det)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            un = (tx * px + ty * py + tz * pz) * s
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vn = (dx * qx + dy * qy + dz * qz) * s
+            tn = (e2x * qx + e2y * qy + e2z * qz) * s
+            ok = (dd > 1e-12) & (un >= 0.0) & (vn >= 0.0) \
+                & (un + vn <= dd) & (tn > tmin * dd) & (tn < tcap * dd) \
+                & (tid != ex0) & (tid != ex1) & (tid >= 0) & box_hit
+            return hit | ok.astype(jnp.int32)
+
+        hit_ref[...] = jax.lax.fori_loop(0, csize, body, hit_ref[...])
+
+
+def _ray_specs(n: int, csize: int):
+    spec = pl.BlockSpec((SUB, LANES), lambda i, c: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # aabb
+        pl.BlockSpec((1, csize, 10), lambda i, c: (c, 0, 0),
+                     memory_space=pltpu.SMEM),                 # tris+id
+    ] + [spec] * n
+
+
+_OUT_SPEC = pl.BlockSpec((SUB, LANES), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "interpret"))
+def _run_clusters(aabb, tris, comps, n_clusters: int,
+                  interpret: bool = False):
     csize = tris.shape[1]
-    n_tiles = o3.shape[1] // SUB
-    nrows = o3.shape[1]
-    ray_spec = pl.BlockSpec((3, SUB, LANES), lambda i, c: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    lim_spec = pl.BlockSpec((2, SUB, LANES), lambda i, c: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((SUB, LANES), lambda i, c: (i, 0),
-                            memory_space=pltpu.VMEM)
+    nrows = comps[0].shape[0]
     return pl.pallas_call(
-        functools.partial(_kernel, csize, any_hit),
-        grid=(n_tiles, n_clusters),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                 # aabb
-            pl.BlockSpec((1, csize, 10), lambda i, c: (c, 0, 0),
-                         memory_space=pltpu.SMEM),                 # tris+id
-            ray_spec, ray_spec, lim_spec,
-            pl.BlockSpec((2, SUB, LANES), lambda i, c: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        functools.partial(_kernel, csize),
+        grid=(nrows // SUB, n_clusters),
+        in_specs=_ray_specs(10, csize),
+        out_specs=[_OUT_SPEC] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((nrows, LANES), jnp.int32),
@@ -236,7 +306,22 @@ def _run_clusters(aabb, tris, o3, d3, lim, excl, n_clusters: int,
             jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(aabb, tris, o3, d3, lim, excl)
+    )(aabb, tris, *comps)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "interpret"))
+def _run_clusters_any(aabb, tris, comps, n_clusters: int,
+                      interpret: bool = False):
+    csize = tris.shape[1]
+    nrows = comps[0].shape[0]
+    return pl.pallas_call(
+        functools.partial(_any_kernel, csize),
+        grid=(nrows // SUB, n_clusters),
+        in_specs=_ray_specs(10, csize),
+        out_specs=[_OUT_SPEC],
+        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)],
+        interpret=interpret,
+    )(aabb, tris, *comps)
 
 
 def _prep_soa(rays_s, exclude_prim, exclude_prim2):
@@ -253,20 +338,19 @@ def _prep_soa(rays_s, exclude_prim, exclude_prim2):
         else jnp.full(n, -2, jnp.int32)
     ex1 = exclude_prim2 if exclude_prim2 is not None \
         else jnp.full(n, -2, jnp.int32)
-    o3 = jnp.stack([rows(rays_s.o.x), rows(rays_s.o.y), rows(rays_s.o.z)], 0)
-    d3 = jnp.stack([rows(rays_s.d.x, fill=1.0), rows(rays_s.d.y),
-                    rows(rays_s.d.z)], 0)
-    lim = jnp.stack([rows(rays_s.tmin, fill=BIG), rows(tcap, fill=-1.0)], 0)
-    excl = jnp.stack([rows(ex0.astype(jnp.int32), fill=-2),
-                      rows(ex1.astype(jnp.int32), fill=-2)], 0)
-    return o3, d3, lim, excl, n
+    comps = (rows(rays_s.o.x), rows(rays_s.o.y), rows(rays_s.o.z),
+             rows(rays_s.d.x, fill=1.0), rows(rays_s.d.y),
+             rows(rays_s.d.z),
+             rows(rays_s.tmin, fill=BIG), rows(tcap, fill=-1.0),
+             rows(ex0.astype(jnp.int32), fill=-2),
+             rows(ex1.astype(jnp.int32), fill=-2))
+    return comps, n
 
 
 def closest_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
                            exclude_prim2=None, interpret=False) -> Hits:
-    o3, d3, lim, excl, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
-    t, prim, u, v = _run_clusters(cl.aabb, cl.tris, o3, d3, lim,
-                                  excl, cl.n_clusters, False,
+    comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
+    t, prim, u, v = _run_clusters(cl.aabb, cl.tris, comps, cl.n_clusters,
                                   interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]
@@ -277,8 +361,7 @@ def closest_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
 
 def any_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
                        exclude_prim2=None, interpret=False):
-    o3, d3, lim, excl, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
-    t, prim, u, v = _run_clusters(cl.aabb, cl.tris, o3, d3, lim,
-                                  excl, cl.n_clusters, True,
-                                  interpret=interpret)
-    return prim.reshape(-1)[:n] >= 0
+    comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
+    (hit,) = _run_clusters_any(cl.aabb, cl.tris, comps, cl.n_clusters,
+                               interpret=interpret)
+    return hit.reshape(-1)[:n] > 0

@@ -9,6 +9,13 @@ hit outputs.  This is the "traversal/intersection as TPU kernels" design
 point (SURVEY §7, BASELINE north star); the BVH front-end reduces the
 triangle loop for large scenes.
 
+Ray inputs are TEN SEPARATE [rows, 128] refs (ox..oz, dx..dz, tmin, tcap,
+ex0, ex1) rather than stacked [3, rows, 128] arrays: the SoA wavefront
+components arrive as independent [N] arrays, and `jnp.stack` would copy
+every one of them through HBM per kernel launch (profiled ~8 ms/step of
+copy/reshape at the bench wavefront) — a [N] -> [rows, 128] reshape is
+layout-free, so separate refs cost nothing.
+
 Semantics match intersect.closest_hit_brute / any_hit_brute:
 Möller-Trumbore with |det| > 1e-12, t in (tmin, tcap), optional one or two
 excluded primitive ids per ray.
@@ -46,23 +53,23 @@ def _pack_tris(verts, tri_vidx):
 
 
 def _intersect_kernel(n_tris: int, any_hit: bool,
-                      tri_ref, o_ref, d_ref, lim_ref, excl_ref,
+                      tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                      dz_ref, tmin_ref, tcap_ref, ex0_ref, ex1_ref,
                       t_ref, prim_ref, u_ref, v_ref):
     """One (SUB, LANES) ray tile vs all triangles.
 
-    tri_ref: [Tpad, 9] VMEM; o_ref/d_ref: [3, SUB, LANES]; lim_ref:
-    [2, SUB, LANES] (tmin, tcap); excl_ref: [2, SUB, LANES] i32.
+    tri_ref: [Tpad, 9] SMEM; ray component refs: [SUB, LANES] each.
     """
-    ox = o_ref[0]
-    oy = o_ref[1]
-    oz = o_ref[2]
-    dx = d_ref[0]
-    dy = d_ref[1]
-    dz = d_ref[2]
-    tmin = lim_ref[0]
-    tcap = lim_ref[1]
-    ex0 = excl_ref[0]
-    ex1 = excl_ref[1]
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    tmin = tmin_ref[...]
+    tcap = tcap_ref[...]
+    ex0 = ex0_ref[...]
+    ex1 = ex1_ref[...]
 
     def body(i, carry):
         bt, bp, bu, bv = carry
@@ -112,20 +119,21 @@ def _intersect_kernel(n_tris: int, any_hit: bool,
     v_ref[...] = bv
 
 
-def _any_hit_kernel(n_tris: int, tri_ref, o_ref, d_ref, lim_ref, excl_ref,
+def _any_hit_kernel(n_tris: int, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref,
+                    dy_ref, dz_ref, tmin_ref, tcap_ref, ex0_ref, ex1_ref,
                     hit_ref):
     """Shadow-ray variant: only a boolean occlusion carry — ~20% fewer VPU
     ops per triangle than the closest-hit kernel (no best-t/prim/u/v)."""
-    ox = o_ref[0]
-    oy = o_ref[1]
-    oz = o_ref[2]
-    dx = d_ref[0]
-    dy = d_ref[1]
-    dz = d_ref[2]
-    tmin = lim_ref[0]
-    tcap = lim_ref[1]
-    ex0 = excl_ref[0]
-    ex1 = excl_ref[1]
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    tmin = tmin_ref[...]
+    tcap = tcap_ref[...]
+    ex0 = ex0_ref[...]
+    ex1 = ex1_ref[...]
 
     def body(i, hit):
         v0x = tri_ref[i, 0]
@@ -163,54 +171,38 @@ def _any_hit_kernel(n_tris: int, tri_ref, o_ref, d_ref, lim_ref, excl_ref,
     hit_ref[...] = hit
 
 
+def _ray_specs(n: int):
+    spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return [pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * n
+
+
+_OUT_SPEC = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+
 @functools.partial(jax.jit, static_argnames=("n_tris", "interpret"))
-def _run_any(tri, o3, d3, lim, excl, n_tris: int, interpret: bool = False):
-    n_tiles = o3.shape[1] // SUB
-    ray_spec = pl.BlockSpec((3, SUB, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    lim_spec = pl.BlockSpec((2, SUB, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    nrows = o3.shape[1]
+def _run_any(tri, comps, n_tris: int, interpret: bool = False):
+    nrows = comps[0].shape[0]
     return pl.pallas_call(
         functools.partial(_any_hit_kernel, n_tris),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            ray_spec, ray_spec, lim_spec,
-            pl.BlockSpec((2, SUB, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_spec],
+        grid=(nrows // SUB,),
+        in_specs=_ray_specs(10),
+        out_specs=[_OUT_SPEC],
         out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)],
         interpret=interpret,
-    )(tri, o3, d3, lim, excl)
+    )(tri, *comps)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_tris", "any_hit", "interpret"))
-def _run(tri, o3, d3, lim, excl, n_tris: int, any_hit: bool,
-         interpret: bool = False):
-    n_tiles = o3.shape[1] // SUB
-    ray_spec = pl.BlockSpec((3, SUB, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    lim_spec = pl.BlockSpec((2, SUB, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    nrows = o3.shape[1]
+def _run(tri, comps, n_tris: int, any_hit: bool, interpret: bool = False):
+    nrows = comps[0].shape[0]
     return pl.pallas_call(
         functools.partial(_intersect_kernel, n_tris, any_hit),
-        grid=(n_tiles,),
-        in_specs=[
-            # triangle table: small, scalar-indexed per iteration
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            ray_spec, ray_spec, lim_spec,
-            pl.BlockSpec((2, SUB, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        grid=(nrows // SUB,),
+        in_specs=_ray_specs(10),
+        out_specs=[_OUT_SPEC] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((nrows, LANES), jnp.int32),
@@ -218,43 +210,39 @@ def _run(tri, o3, d3, lim, excl, n_tris: int, any_hit: bool,
             jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(tri, o3, d3, lim, excl)
+    )(tri, *comps)
 
 
 def _prep_soa(rays_s, exclude_prim, exclude_prim2):
-    """SoA ray wavefront (vec.RaysS) -> kernel tiles.  All reshapes here are
-    dense [N]-array ops (no [N,3] strided slices)."""
+    """SoA ray wavefront (vec.RaysS) -> ten [rows, 128] component arrays.
+    The [N] -> [rows, 128] reshapes are layout-free; only padding copies."""
     n = rays_s.tmin.shape[0]
     pad = (-n) % TILE
     npad = n + pad
 
-    def pad1(a, fill=0.0):
-        return jnp.pad(a, ((0, pad),), constant_values=fill)
-
     def rows(a, fill=0.0):
-        return pad1(a, fill).reshape(npad // LANES, LANES)
+        return jnp.pad(a, ((0, pad),), constant_values=fill) \
+            .reshape(npad // LANES, LANES)
 
     tcap = jnp.where(rays_s.tmax > 0, rays_s.tmax, BIG)
     ex0 = exclude_prim if exclude_prim is not None \
         else jnp.full(n, -2, jnp.int32)
     ex1 = exclude_prim2 if exclude_prim2 is not None \
         else jnp.full(n, -2, jnp.int32)
-    o3 = jnp.stack([rows(rays_s.o.x), rows(rays_s.o.y), rows(rays_s.o.z)], 0)
-    d3 = jnp.stack([rows(rays_s.d.x), rows(rays_s.d.y), rows(rays_s.d.z)], 0)
-    lim = jnp.stack([rows(rays_s.tmin), rows(tcap, fill=-1.0)], axis=0)
-    excl = jnp.stack([rows(ex0.astype(jnp.int32), fill=-2),
-                      rows(ex1.astype(jnp.int32), fill=-2)], axis=0)
-    return o3, d3, lim, excl, n, npad
+    comps = (rows(rays_s.o.x), rows(rays_s.o.y), rows(rays_s.o.z),
+             rows(rays_s.d.x), rows(rays_s.d.y), rows(rays_s.d.z),
+             rows(rays_s.tmin), rows(tcap, fill=-1.0),
+             rows(ex0.astype(jnp.int32), fill=-2),
+             rows(ex1.astype(jnp.int32), fill=-2))
+    return comps, n
 
 
 def closest_hit_pallas_s(geom, rays_s, exclude_prim=None,
                          exclude_prim2=None, interpret=False) -> Hits:
     """SoA entry: takes vec.RaysS, returns Hits ([N] leaves, layout-neutral)."""
     tri, n_tris = _pack_tris(geom.verts, geom.tri_vidx)
-    o3, d3, lim, excl, n, npad = _prep_soa(rays_s, exclude_prim,
-                                           exclude_prim2)
-    t, prim, u, v = _run(tri, o3, d3, lim, excl, n_tris, False,
-                         interpret=interpret)
+    comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
+    t, prim, u, v = _run(tri, comps, n_tris, False, interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]
     u = u.reshape(-1)[:n]
@@ -265,59 +253,25 @@ def closest_hit_pallas_s(geom, rays_s, exclude_prim=None,
 
 def any_hit_pallas_s(geom, rays_s, exclude_prim=None, exclude_prim2=None):
     tri, n_tris = _pack_tris(geom.verts, geom.tri_vidx)
-    o3, d3, lim, excl, n, npad = _prep_soa(rays_s, exclude_prim,
-                                           exclude_prim2)
-    (hit,) = _run_any(tri, o3, d3, lim, excl, n_tris)
+    comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
+    (hit,) = _run_any(tri, comps, n_tris)
     return hit.reshape(-1)[:n] > 0
 
 
-def _prep(geom, rays: Rays, exclude_prim, exclude_prim2):
-    n = rays.o.shape[0]
-    pad = (-n) % TILE
-    npad = n + pad
-
-    def pad1(a, fill=0.0):
-        return jnp.pad(a, ((0, pad),), constant_values=fill)
-
-    tcap = jnp.where(rays.tmax > 0, rays.tmax, BIG)
-    ex0 = exclude_prim if exclude_prim is not None \
-        else jnp.full(n, -2, jnp.int32)
-    ex1 = exclude_prim2 if exclude_prim2 is not None \
-        else jnp.full(n, -2, jnp.int32)
-
-    def tile3(a, b, c):
-        return jnp.stack([
-            pad1(a).reshape(npad // LANES, LANES),
-            pad1(b).reshape(npad // LANES, LANES),
-            pad1(c).reshape(npad // LANES, LANES)], axis=0)
-
-    o3 = tile3(rays.o[:, 0], rays.o[:, 1], rays.o[:, 2])
-    d3 = tile3(rays.d[:, 0], rays.d[:, 1], rays.d[:, 2])
-    lim = jnp.stack([pad1(rays.tmin).reshape(npad // LANES, LANES),
-                     pad1(tcap, fill=-1.0).reshape(npad // LANES, LANES)],
-                    axis=0)
-    excl = jnp.stack([
-        pad1(ex0.astype(jnp.int32), fill=-2).reshape(npad // LANES, LANES),
-        pad1(ex1.astype(jnp.int32), fill=-2).reshape(npad // LANES, LANES)],
-        axis=0)
-    return o3, d3, lim, excl, n, npad
+def _aos_to_soa(rays: Rays):
+    from core_tpu.vec import rays_to_soa
+    return rays_to_soa(rays)
 
 
 def closest_hit_pallas(geom, rays: Rays, exclude_prim=None,
                        exclude_prim2=None, interpret=False) -> Hits:
-    tri, n_tris = _pack_tris(geom.verts, geom.tri_vidx)
-    o3, d3, lim, excl, n, npad = _prep(geom, rays, exclude_prim,
-                                       exclude_prim2)
-    t, prim, u, v = _run(tri, o3, d3, lim, excl, n_tris, False,
-                         interpret=interpret)
-    t = t.reshape(-1)[:n]
-    prim = prim.reshape(-1)[:n]
-    u = u.reshape(-1)[:n]
-    v = v.reshape(-1)[:n]
-    miss = prim < 0
-    return Hits(t=jnp.where(miss, -1.0, t), prim=prim, u=u, v=v)
+    return closest_hit_pallas_s(geom, _aos_to_soa(rays),
+                                exclude_prim=exclude_prim,
+                                exclude_prim2=exclude_prim2,
+                                interpret=interpret)
 
 
 def any_hit_pallas(geom, rays: Rays, exclude_prim=None, exclude_prim2=None):
-    hits = closest_hit_pallas(geom, rays, exclude_prim, exclude_prim2)
-    return hits.prim >= 0
+    return any_hit_pallas_s(geom, _aos_to_soa(rays),
+                            exclude_prim=exclude_prim,
+                            exclude_prim2=exclude_prim2)
