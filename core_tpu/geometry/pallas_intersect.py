@@ -171,6 +171,134 @@ def _any_hit_kernel(n_tris: int, tri_ref, ox_ref, oy_ref, oz_ref, dx_ref,
     hit_ref[...] = hit
 
 
+def _any_hit_nee_kernel(n_tris: int, K: int, tri_ref, ox_ref, oy_ref,
+                        oz_ref, tmin_ref, ex0_ref, ex1_ref, *rest):
+    """K shadow rays PER LANE sharing one origin (the NEE bundle: all
+    2*light_samples MIS shadow rays of a shading point start at sp.p).
+
+    Per triangle the origin-only Möller-Trumbore subexpressions are
+    computed once and reused across all K directions:
+      tvec = o - v0, qvec = tvec x e1, w = e2 x tvec, tnum = e2.qvec,
+      m1 = e2 x e1, and the primitive-exclusion compares
+    leaving only det = d.m1 / un = d.w / vn = d.qvec + folds per ray
+    (~37 ops/ray vs 57 standalone; measured win on the bench NEE).
+
+    rest: K direction triples then K tcap refs then K hit out refs.
+    """
+    dxs = rest[0:K]
+    dys = rest[K:2 * K]
+    dzs = rest[2 * K:3 * K]
+    tcaps = rest[3 * K:4 * K]
+    hit_refs = rest[4 * K:5 * K]
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    tmin = tmin_ref[...]
+    ex0 = ex0_ref[...]
+    ex1 = ex1_ref[...]
+    d = [(dxs[k][...], dys[k][...], dzs[k][...]) for k in range(K)]
+    tc = [tcaps[k][...] for k in range(K)]
+
+    def body(i, hits):
+        v0x = tri_ref[i, 0]
+        v0y = tri_ref[i, 1]
+        v0z = tri_ref[i, 2]
+        e1x = tri_ref[i, 3]
+        e1y = tri_ref[i, 4]
+        e1z = tri_ref[i, 5]
+        e2x = tri_ref[i, 6]
+        e2y = tri_ref[i, 7]
+        e2z = tri_ref[i, 8]
+        # origin-shared terms
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        # m1 = e2 x e1  (det = d . m1)
+        m1x = e2y * e1z - e2z * e1y
+        m1y = e2z * e1x - e2x * e1z
+        m1z = e2x * e1y - e2y * e1x
+        # w = e2 x tvec  (u_num = d . w)
+        wx = e2y * tz - e2z * ty
+        wy = e2z * tx - e2x * tz
+        wz = e2x * ty - e2y * tx
+        # qvec = tvec x e1  (v_num = d . qvec; t_num = e2 . qvec)
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        tnum = e2x * qx + e2y * qy + e2z * qz
+        not_excl = (i != ex0) & (i != ex1)
+
+        out = []
+        for k in range(K):
+            dx, dy, dz = d[k]
+            det = dx * m1x + dy * m1y + dz * m1z
+            s = jnp.where(det < 0.0, -1.0, 1.0)
+            dd = jnp.abs(det)
+            un = (dx * wx + dy * wy + dz * wz) * s
+            vn = (dx * qx + dy * qy + dz * qz) * s
+            tn = tnum * s
+            ok = (dd > 1e-12) & (un >= 0.0) & (vn >= 0.0) \
+                & (un + vn <= dd) & (tn > tmin * dd) & (tn < tc[k] * dd) \
+                & not_excl
+            out.append(hits[k] | ok.astype(jnp.int32))
+        return tuple(out)
+
+    hits = jax.lax.fori_loop(
+        0, n_tris, body,
+        tuple(jnp.zeros((SUB, LANES), jnp.int32) for _ in range(K)))
+    for k in range(K):
+        hit_refs[k][...] = hits[k]
+
+
+@functools.partial(jax.jit, static_argnames=("n_tris", "K", "interpret"))
+def _run_any_nee(tri, shared, dirs_flat, tcaps, n_tris: int, K: int,
+                 interpret: bool = False):
+    nrows = shared[0].shape[0]
+    return pl.pallas_call(
+        functools.partial(_any_hit_nee_kernel, n_tris, K),
+        grid=(nrows // SUB,),
+        in_specs=_ray_specs(6 + 4 * K),
+        out_specs=[_OUT_SPEC] * K,
+        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)] * K,
+        interpret=interpret,
+    )(tri, *shared, *dirs_flat, *tcaps)
+
+
+def any_hit_nee_pallas_s(geom, o3, tmin, dirs, tcaps, exclude_prim=None,
+                         exclude_prim2=None, interpret=False):
+    """Shared-origin NEE occlusion bundle.
+
+    o3: V3 [N] shading-point origins; tmin: [N]; dirs: list of K V3 [N]
+    unit directions; tcaps: list of K [N] max distances (<=0 -> open ray).
+    Returns [K*N] bool, sample-major (ray k of lane j at k*N+j) — the
+    layout jnp.concatenate over the K rays would produce.
+    """
+    tri, n_tris = _pack_tris(geom.verts, geom.tri_vidx)
+    K = len(dirs)
+    n = tmin.shape[0]
+    pad = (-n) % TILE
+    npad = n + pad
+
+    def rows(a, fill=0.0):
+        return jnp.pad(a, ((0, pad),), constant_values=fill) \
+            .reshape(npad // LANES, LANES)
+
+    ex0 = exclude_prim if exclude_prim is not None \
+        else jnp.full(n, -2, jnp.int32)
+    ex1 = exclude_prim2 if exclude_prim2 is not None \
+        else jnp.full(n, -2, jnp.int32)
+    shared = (rows(o3.x), rows(o3.y), rows(o3.z), rows(tmin),
+              rows(ex0.astype(jnp.int32), fill=-2),
+              rows(ex1.astype(jnp.int32), fill=-2))
+    dirs_flat = ([rows(v.x) for v in dirs] + [rows(v.y) for v in dirs]
+                 + [rows(v.z) for v in dirs])
+    tcap_rows = [rows(jnp.where(t > 0, t, BIG), fill=-1.0) for t in tcaps]
+    hits = _run_any_nee(tri, shared, dirs_flat, tcap_rows, n_tris, K,
+                        interpret=interpret)
+    return jnp.concatenate([h.reshape(-1)[:n] for h in hits]) > 0
+
+
 def _ray_specs(n: int):
     spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)

@@ -85,11 +85,18 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
         """The whole (n*N)-lane NEE shading chain (one function so a remat
         policy can be swapped in; measured on v5e, rematerializing this
         region was a net loss — 315 vs 352 Mrays/s — so it runs plain)."""
+
+        def slices3(v):
+            return [V3(v.x[k * N:(k + 1) * N], v.y[k * N:(k + 1) * N],
+                       v.z[k * N:(k + 1) * N]) for k in range(n)]
+
+        def slices1(a):
+            return [a[k * N:(k + 1) * N] for k in range(n)]
+
+        tmin_nee = jnp.full(N, SHADOW_BIAS, jnp.float32)
+
         # --- light-side sampling ---
         ls = light_base.illum_sample_s(light, spb, s1, s2)
-        l_rays = RaysS(o=spb.p, d=ls.wi,
-                       tmin=jnp.full_like(ls.dist, SHADOW_BIAS),
-                       tmax=ls.dist - SHADOW_BIAS)
         surf = dispatch.eval_bsdf_s(types_present, pb, spb, wob, ls.wi,
                                     BSDF.ALL)
         cos_term = jnp.abs(dot3(spb.n, ls.wi))
@@ -109,21 +116,16 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
                 light, RaysS(o=spb.p, d=sres.wi,
                              tmin=jnp.full_like(s1, MIN_RAYDIST),
                              tmax=jnp.full_like(s1, -1.0)))
-            b_rays = RaysS(o=spb.p, d=sres.wi,
-                           tmin=jnp.full_like(s1, SHADOW_BIAS),
-                           tmax=lh.t - SHADOW_BIAS)
 
-            # ONE shadow kernel launch for both MIS sides
-            cat = RaysS(o=V3(jnp.concatenate([l_rays.o.x, b_rays.o.x]),
-                             jnp.concatenate([l_rays.o.y, b_rays.o.y]),
-                             jnp.concatenate([l_rays.o.z, b_rays.o.z])),
-                        d=V3(jnp.concatenate([l_rays.d.x, b_rays.d.x]),
-                             jnp.concatenate([l_rays.d.y, b_rays.d.y]),
-                             jnp.concatenate([l_rays.d.z, b_rays.d.z])),
-                        tmin=jnp.concatenate([l_rays.tmin, b_rays.tmin]),
-                        tmax=jnp.concatenate([l_rays.tmax, b_rays.tmax]))
-            excl = jnp.concatenate([spb.prim, spb.prim])
-            shad = scene_mod.any_hit_s(scene, cat, exclude_prim=excl)
+            # ONE shadow kernel launch for both MIS sides: all 2n rays of
+            # a lane share its origin, so the shared-origin NEE kernel
+            # computes the origin-only MT terms once per triangle
+            shad = scene_mod.any_hit_nee_s(
+                scene, sps.p, tmin_nee,
+                slices3(ls.wi) + slices3(sres.wi),
+                slices1(ls.dist - SHADOW_BIAS)
+                + slices1(lh.t - SHADOW_BIAS),
+                exclude_prim=sps.prim)
             shad = checkpoint_name(shad, "nee_kernel")
             l_shadowed = shad[:n * N]
             b_shadowed = shad[n * N:]
@@ -141,8 +143,9 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
                 & (lh.ipdf > 1e-6)
             total = where3(l_ok, lcontrib, 0.0) + where3(b_ok, bcontrib, 0.0)
         else:
-            shadowed = scene_mod.any_hit_s(scene, l_rays,
-                                           exclude_prim=spb.prim)
+            shadowed = scene_mod.any_hit_nee_s(
+                scene, sps.p, tmin_nee, slices3(ls.wi),
+                slices1(ls.dist - SHADOW_BIAS), exclude_prim=sps.prim)
             shadowed = checkpoint_name(shadowed, "nee_kernel")
             contrib = surf * ls.col * (cos_term / jnp.maximum(ls.pdf, 1e-12))
             ok = activeb & ls.valid & (~shadowed) & (ls.pdf > 1e-6)

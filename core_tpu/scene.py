@@ -164,6 +164,41 @@ def closest_hit_s(scene: Scene, rays_s, exclude_prim=None) -> Hits:
     return closest_hit(scene, rays_to_aos(rays_s), exclude_prim=exclude_prim)
 
 
+def any_hit_nee_s(scene: Scene, origin, tmin, dirs, tcaps,
+                  exclude_prim=None, exclude_prim2=None):
+    """Occlusion for K shadow rays per lane sharing one origin (the NEE
+    bundle).  origin: V3 [N]; dirs: list of K V3 [N]; tcaps: list of K
+    [N].  Returns [K*N] bool, sample-major — identical layout to
+    concatenating the K rays and calling any_hit_s.
+
+    On the pallas brute path this runs the shared-origin kernel
+    (origin-only Möller-Trumbore terms computed once per triangle per
+    lane instead of per ray); other intersectors fall back to the
+    concatenated wavefront."""
+    from core_tpu.vec import RaysS, V3
+    origin = jax.tree_util.tree_map(jax.lax.stop_gradient, origin)
+    dirs = jax.tree_util.tree_map(jax.lax.stop_gradient, list(dirs))
+    tcaps = [jax.lax.stop_gradient(t) for t in tcaps]
+    tmin = jax.lax.stop_gradient(tmin)
+    K = len(dirs)
+    if scene.accel is None and scene.intersector == "pallas":
+        from core_tpu.geometry.pallas_intersect import any_hit_nee_pallas_s
+        return any_hit_nee_pallas_s(scene.geom, origin, tmin, dirs, tcaps,
+                                    exclude_prim=exclude_prim,
+                                    exclude_prim2=exclude_prim2)
+    cat = RaysS(
+        o=V3(jnp.tile(origin.x, K), jnp.tile(origin.y, K),
+             jnp.tile(origin.z, K)),
+        d=V3(jnp.concatenate([d.x for d in dirs]),
+             jnp.concatenate([d.y for d in dirs]),
+             jnp.concatenate([d.z for d in dirs])),
+        tmin=jnp.tile(tmin, K),
+        tmax=jnp.concatenate(tcaps))
+    ex0 = jnp.tile(exclude_prim, K) if exclude_prim is not None else None
+    ex1 = jnp.tile(exclude_prim2, K) if exclude_prim2 is not None else None
+    return any_hit_s(scene, cat, exclude_prim=ex0, exclude_prim2=ex1)
+
+
 def any_hit_s(scene: Scene, rays_s, exclude_prim=None, exclude_prim2=None):
     rays_s = jax.tree_util.tree_map(jax.lax.stop_gradient, rays_s)
     if scene.intersector == "cluster":

@@ -61,3 +61,38 @@ def test_native_builder_large_mesh():
     li = left[inner]
     assert (nmin[inner] <= nmin[li] + 1e-4).all()
     assert (nmax[inner] >= nmax[li] - 1e-4).all()
+
+
+def test_any_hit_nee_bundle_matches_brute():
+    """Shared-origin NEE kernel (K rays per lane) vs concatenated brute."""
+    import jax.numpy as jnp
+    from core_tpu.scenes import cornell_box
+    from core_tpu.geometry import pallas_intersect as pk
+    from core_tpu.geometry import intersect as isect
+    from core_tpu.types import Rays
+    from core_tpu import vec
+
+    s = cornell_box(resx=8, resy=8, light_samples=1)
+    rng = np.random.default_rng(7)
+    N, K = 1536, 6
+    o = rng.uniform([50, 50, 50], [500, 500, 500], (N, 3)).astype(np.float32)
+    dirs, tcaps, cat_d, cat_t = [], [], [], []
+    for _ in range(K):
+        d = rng.normal(size=(N, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        t = rng.uniform(10, 800, N).astype(np.float32)
+        dirs.append(vec.v3(jnp.asarray(d)))
+        tcaps.append(jnp.asarray(t))
+        cat_d.append(d)
+        cat_t.append(t)
+    ex = rng.integers(0, s.geom.n_tris, N).astype(np.int32)
+    got = pk.any_hit_nee_pallas_s(
+        s.geom, vec.v3(jnp.asarray(o)), jnp.full(N, 5e-4), dirs, tcaps,
+        exclude_prim=jnp.asarray(ex), interpret=True)
+    co = np.tile(o, (K, 1))
+    rays = Rays(o=jnp.asarray(co), d=jnp.asarray(np.concatenate(cat_d)),
+                tmin=jnp.full(K * N, 5e-4),
+                tmax=jnp.asarray(np.concatenate(cat_t)))
+    want = isect.any_hit_brute(s.geom, rays,
+                               exclude_prim=jnp.asarray(np.tile(ex, K)))
+    assert (np.asarray(got) == np.asarray(want)).all()

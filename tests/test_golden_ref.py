@@ -103,3 +103,46 @@ def test_specular_blocks_match_reference(dl_spec_pair):
     assert abs(m.mean() - r.mean()) / r.mean() < 0.03, (m.mean(), r.mean())
     rel_mae = np.abs(m - r).mean() / r.mean()
     assert rel_mae < 0.06, rel_mae
+
+
+@pytest.fixture(scope="module")
+def pt_pair():
+    """Path-traced Cornell vs the reference's pt golden (256² 16spp ps8 b3,
+    pooled 4x to 64²) — core_tpu rendered at 64² 4spp (matched pixel
+    footprints, statistical parity)."""
+    from core_tpu.scenes import cornell_box
+    from core_tpu.render import render_image, RenderOptions
+    from core_tpu.film import FilterType
+    from core_tpu.integrators.path import PathOptions
+    ref = _load("pt_256x256_16spp_ps8_b3")[..., :3]
+    ref = ref.reshape(64, 4, 64, 4, 3).mean((1, 3))
+    scene = cornell_box(resx=64, resy=64, light_samples=16)
+    opts = RenderOptions(
+        integrator="pathtracing",
+        integrator_opts=PathOptions(path_samples=8, bounces=3, raydepth=5),
+        aa_samples=4, spp_chunk=2, filter_size=1.0,
+        filter_type=FilterType.BOX)
+    img, _ = render_image(scene, opts)
+    return np.asarray(img)[2:-2, 2:-2, :3], ref[2:-2, 2:-2]
+
+
+def test_pathtracer_matches_reference_structure(pt_pair):
+    """Block-mean structure agrees (Pearson r) even though total energy
+    differs by the reference's documented indirect deficit."""
+    a, b = pt_pair
+    ba = a[:56, :56].reshape(7, 8, 7, 8, 3).mean((1, 3)).ravel()
+    bb = b[:56, :56].reshape(7, 8, 7, 8, 3).mean((1, 3)).ravel()
+    r = np.corrcoef(ba, bb)[0, 1]
+    assert r > 0.99, f"block Pearson {r}"
+
+
+def test_pathtracer_energy_vs_reference(pt_pair):
+    """Mean image energy: core_tpu is known-BRIGHTER than the reference by
+    its indirect deficit (refgold/README.md: the reference's grazing
+    self-shadowing + W damping lose ~17% of indirect energy at every
+    bounce; a float64 brute-force arbiter puts core_tpu within +1% of
+    ground truth, the reference at -17%).  Assert the difference stays
+    inside the quantified band and in the documented direction."""
+    a, b = pt_pair
+    rel = (a.mean() - b.mean()) / b.mean()
+    assert -0.01 <= rel <= 0.12, f"pt energy rel diff {rel}"
