@@ -146,3 +146,38 @@ def test_pathtracer_energy_vs_reference(pt_pair):
     a, b = pt_pair
     rel = (a.mean() - b.mean()) / b.mean()
     assert -0.01 <= rel <= 0.12, f"pt energy rel diff {rel}"
+
+
+@pytest.fixture(scope="module")
+def pt_spec_pair():
+    """Specular path tracing (glossy short + glass tall block) vs the
+    reference pt_spec golden (128² 16spp ps8 b3, pooled 2x to 64²)."""
+    from core_tpu.scenes import cornell_box
+    from core_tpu.render import render_image, RenderOptions
+    from core_tpu.film import FilterType
+    from core_tpu.integrators.path import PathOptions
+    ref = _load("pt_spec_128x128_16spp_ps8_b3")[..., :3]
+    ref = ref.reshape(64, 2, 64, 2, 3).mean((1, 3))
+    scene = cornell_box(resx=64, resy=64, light_samples=8,
+                        block_materials=("glossy", "glass"))
+    opts = RenderOptions(
+        integrator="pathtracing",
+        integrator_opts=PathOptions(path_samples=8, bounces=3, raydepth=5),
+        aa_samples=4, spp_chunk=2, filter_size=1.0,
+        filter_type=FilterType.BOX)
+    img, _ = render_image(scene, opts)
+    return np.asarray(img)[2:-2, 2:-2, :3], ref[2:-2, 2:-2]
+
+
+def test_pathtracer_specular_matches_reference(pt_spec_pair):
+    """Glossy + glass blocks under the path tracer: structure via block
+    Pearson, energy inside the quantified band (refgold/README.md: 4.4%
+    mean rel at matched full-size samples; glass caustics add variance at
+    this reduced scale)."""
+    a, b = pt_spec_pair
+    ba = a[:56, :56].reshape(7, 8, 7, 8, 3).mean((1, 3)).ravel()
+    bb = b[:56, :56].reshape(7, 8, 7, 8, 3).mean((1, 3)).ravel()
+    r = np.corrcoef(ba, bb)[0, 1]
+    assert r > 0.98, f"block Pearson {r}"
+    rel = (a.mean() - b.mean()) / b.mean()
+    assert -0.04 <= rel <= 0.14, f"pt spec energy rel diff {rel}"
