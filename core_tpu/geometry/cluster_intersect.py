@@ -275,6 +275,148 @@ def _any_kernel(csize: int,
         hit_ref[...] = jax.lax.fori_loop(0, csize, body, hit_ref[...])
 
 
+def _any_nee_kernel(csize: int, K: int, aabb_ref, tri_ref, ox_ref, oy_ref,
+                    oz_ref, tmin_ref, ex0_ref, ex1_ref, *rest):
+    """Cluster sweep for K shadow rays per lane sharing one origin (the
+    NEE bundle; see pallas_intersect._any_hit_nee_kernel for the math).
+    The AABB gate ORs the per-direction slab tests and drops lanes whose
+    ray k already hit, so fully-occluded tiles skip remaining clusters.
+
+    Trade-off vs the concatenated per-direction sweep: shared-origin MT
+    terms save ~35% of the per-test math, but the OR'd gate opens for the
+    union of the K frusta, so incoherent bundles (BSDF-side MIS rays, IBL
+    samples) cull less than per-direction tiles would.  Measured ~neutral
+    on the 73.6k-tri mesh scene (5-6.5 s/chunk either way) and strictly
+    fewer launches; the small-scene brute path, which has no culling to
+    lose, gets the full +35% (bench 356.5 -> 482.4 Mrays/s)."""
+    dxs = rest[0:K]
+    dys = rest[K:2 * K]
+    dzs = rest[2 * K:3 * K]
+    tcaps = rest[3 * K:4 * K]
+    hit_refs = rest[4 * K:5 * K]
+    c = pl.program_id(1)
+
+    for k in range(K):
+        @pl.when(c == 0)
+        def _init(k=k):
+            hit_refs[k][...] = jnp.zeros((SUB, LANES), jnp.int32)
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    tmin = tmin_ref[...]
+    d = [(dxs[k][...], dys[k][...], dzs[k][...]) for k in range(K)]
+    tc = [tcaps[k][...] for k in range(K)]
+    live = [hit_refs[k][...] == 0 for k in range(K)]
+
+    box_any = None
+    box_k = []
+    for k in range(K):
+        bh = _slab_test(aabb_ref, c, ox, oy, oz, d[k][0], d[k][1], d[k][2],
+                        tmin, tc[k]) & live[k]
+        box_k.append(bh)
+        box_any = bh if box_any is None else (box_any | bh)
+
+    @pl.when(jnp.any(box_any))
+    def _cluster_body():
+        ex0 = ex0_ref[...]
+        ex1 = ex1_ref[...]
+
+        def body(i, hits):
+            v0x = tri_ref[0, i, 0]
+            v0y = tri_ref[0, i, 1]
+            v0z = tri_ref[0, i, 2]
+            e1x = tri_ref[0, i, 3]
+            e1y = tri_ref[0, i, 4]
+            e1z = tri_ref[0, i, 5]
+            e2x = tri_ref[0, i, 6]
+            e2y = tri_ref[0, i, 7]
+            e2z = tri_ref[0, i, 8]
+            tid = tri_ref[0, i, 9].astype(jnp.int32)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            m1x = e2y * e1z - e2z * e1y
+            m1y = e2z * e1x - e2x * e1z
+            m1z = e2x * e1y - e2y * e1x
+            wx = e2y * tz - e2z * ty
+            wy = e2z * tx - e2x * tz
+            wz = e2x * ty - e2y * tx
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            tnum = e2x * qx + e2y * qy + e2z * qz
+            not_excl = (tid != ex0) & (tid != ex1) & (tid >= 0)
+
+            out = []
+            for k in range(K):
+                dx, dy, dz = d[k]
+                det = dx * m1x + dy * m1y + dz * m1z
+                s = jnp.where(det < 0.0, -1.0, 1.0)
+                dd = jnp.abs(det)
+                un = (dx * wx + dy * wy + dz * wz) * s
+                vn = (dx * qx + dy * qy + dz * qz) * s
+                tn = tnum * s
+                ok = (dd > 1e-12) & (un >= 0.0) & (vn >= 0.0) \
+                    & (un + vn <= dd) & (tn > tmin * dd) \
+                    & (tn < tc[k] * dd) & not_excl & box_k[k]
+                out.append(hits[k] | ok.astype(jnp.int32))
+            return tuple(out)
+
+        hits = jax.lax.fori_loop(
+            0, csize, body, tuple(hit_refs[k][...] for k in range(K)))
+        for k in range(K):
+            hit_refs[k][...] = hits[k]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_clusters", "K", "interpret"))
+def _run_clusters_any_nee(aabb, tris, shared, dirs_flat, tcaps,
+                          n_clusters: int, K: int, interpret: bool = False):
+    csize = tris.shape[1]
+    nrows = shared[0].shape[0]
+    return pl.pallas_call(
+        functools.partial(_any_nee_kernel, csize, K),
+        grid=(nrows // SUB, n_clusters),
+        in_specs=_ray_specs(6 + 4 * K, csize),
+        out_specs=[_OUT_SPEC] * K,
+        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)] * K,
+        interpret=interpret,
+    )(aabb, tris, *shared, *dirs_flat, *tcaps)
+
+
+def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
+                           exclude_prim=None, exclude_prim2=None,
+                           interpret=False):
+    """Shared-origin NEE occlusion bundle over the cluster accel.  Same
+    contract as pallas_intersect.any_hit_nee_pallas_s."""
+    K = len(dirs)
+    n = tmin.shape[0]
+    pad = (-n) % TILE
+    npad = n + pad
+
+    def rows(a, fill=0.0):
+        return jnp.pad(a, ((0, pad),), constant_values=fill) \
+            .reshape(npad // LANES, LANES)
+
+    ex0 = exclude_prim if exclude_prim is not None \
+        else jnp.full(n, -2, jnp.int32)
+    ex1 = exclude_prim2 if exclude_prim2 is not None \
+        else jnp.full(n, -2, jnp.int32)
+    shared = (rows(o3.x), rows(o3.y), rows(o3.z),
+              rows(tmin, fill=BIG),
+              rows(ex0.astype(jnp.int32), fill=-2),
+              rows(ex1.astype(jnp.int32), fill=-2))
+    dirs_flat = ([rows(v.x, fill=1.0) for v in dirs]
+                 + [rows(v.y) for v in dirs]
+                 + [rows(v.z) for v in dirs])
+    tcap_rows = [rows(jnp.where(t > 0, t, BIG), fill=-1.0) for t in tcaps]
+    hits = _run_clusters_any_nee(cl.aabb, cl.tris, shared, dirs_flat,
+                                 tcap_rows, cl.n_clusters, K,
+                                 interpret=interpret)
+    return jnp.concatenate([h.reshape(-1)[:n] for h in hits]) > 0
+
+
 def _ray_specs(n: int, csize: int):
     spec = pl.BlockSpec((SUB, LANES), lambda i, c: (i, 0),
                         memory_space=pltpu.VMEM)

@@ -181,6 +181,12 @@ def any_hit_nee_s(scene: Scene, origin, tmin, dirs, tcaps,
     tcaps = [jax.lax.stop_gradient(t) for t in tcaps]
     tmin = jax.lax.stop_gradient(tmin)
     K = len(dirs)
+    if scene.intersector == "cluster":
+        from core_tpu.geometry import cluster_intersect as ck
+        return ck.any_hit_nee_clusters_s(_cluster_accel(scene), origin,
+                                         tmin, dirs, tcaps,
+                                         exclude_prim=exclude_prim,
+                                         exclude_prim2=exclude_prim2)
     if scene.accel is None and scene.intersector == "pallas":
         from core_tpu.geometry.pallas_intersect import any_hit_nee_pallas_s
         return any_hit_nee_pallas_s(scene.geom, origin, tmin, dirs, tcaps,

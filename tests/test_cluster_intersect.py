@@ -93,3 +93,38 @@ def test_cluster_exclude_prim():
     valid = np.asarray(hits.prim) >= 0
     assert (np.asarray(hits2.prim)[valid]
             != np.asarray(hits.prim)[valid]).all()
+
+
+def test_cluster_any_hit_nee_bundle_matches_brute():
+    """Shared-origin NEE bundle over the cluster accel vs concat brute."""
+    import jax.numpy as jnp
+    from core_tpu import vec
+    from core_tpu.geometry import intersect as isect
+    from core_tpu.types import Rays
+
+    geom = cornell_box(resx=8, resy=8, light_samples=1).geom
+    cl = ck.build_clusters(np.asarray(geom.verts),
+                           np.asarray(geom.tri_vidx), max_leaf=8)
+    rng = np.random.default_rng(11)
+    N, K = 1280, 5
+    o = rng.uniform([50, 50, 50], [500, 500, 500], (N, 3)).astype(np.float32)
+    dirs, tcaps, cat_d, cat_t = [], [], [], []
+    for _ in range(K):
+        d = rng.normal(size=(N, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        t = rng.uniform(10, 800, N).astype(np.float32)
+        dirs.append(vec.v3(jnp.asarray(d)))
+        tcaps.append(jnp.asarray(t))
+        cat_d.append(d)
+        cat_t.append(t)
+    ex = rng.integers(0, geom.tri_vidx.shape[0], N).astype(np.int32)
+    got = ck.any_hit_nee_clusters_s(
+        cl, vec.v3(jnp.asarray(o)), jnp.full(N, 1e-4), dirs, tcaps,
+        exclude_prim=jnp.asarray(ex), interpret=True)
+    rays = Rays(o=jnp.asarray(np.tile(o, (K, 1))),
+                d=jnp.asarray(np.concatenate(cat_d)),
+                tmin=jnp.full(K * N, 1e-4),
+                tmax=jnp.asarray(np.concatenate(cat_t)))
+    want = isect.any_hit_brute(geom, rays,
+                               exclude_prim=jnp.asarray(np.tile(ex, K)))
+    assert (np.asarray(got) == np.asarray(want)).all()
