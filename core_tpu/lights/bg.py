@@ -102,27 +102,59 @@ def _spheremap(d):
     return u, v
 
 
+def _row_decode(table, idx):
+    """table [R, C], idx [N] -> per-lane rows [N, C] via a one-hot MXU
+    matmul (exact for 0/1 one-hots in f32 at HIGHEST precision).
+
+    A dynamic row gather `table[idx]` runs on the TPU scalar unit —
+    profiled at 123 ms/chunk for the bglight CDF rows on the mesh scene —
+    while the matmul streams at MXU rate (~2 ms at 524k lanes)."""
+    r = table.shape[0]
+    io = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], r), 1)
+    oh = (io == idx[:, None]).astype(jnp.float32)
+    return jax.lax.dot_general(oh, table, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _col_pick(rows_nc, iu):
+    """rows [N, C], per-lane column iu [N] -> [N]; fused compare-select-
+    reduce (no take_along_axis gather)."""
+    io = jax.lax.broadcasted_iota(jnp.int32, rows_nc.shape, 1)
+    return jnp.sum(jnp.where(io == iu[:, None], rows_nc, 0.0), axis=1)
+
+
+def _count_below(cdf_rows, s):
+    """First index where cdf >= s == count of entries < s (the
+    searchsorted 'left' contract) as a fused compare-reduce."""
+    return jnp.sum((cdf_rows < s[..., None]).astype(jnp.int32), axis=-1)
+
+
 def _sample_uv(light: BgLight, s1, s2):
-    """2-D CDF inversion; returns (u, v, pu, pv)."""
+    """2-D CDF inversion; returns (u, v, pu, pv).  Gather-free: the V
+    search is a compare-reduce over the [NV] CDF, the per-lane U row is
+    fetched by one-hot matmul, and element picks are compare-select
+    reductions (see _row_decode)."""
     nv = light.v_cdf.shape[0]
     nu = light.u_cdf.shape[1]
-    iv = jnp.clip(jnp.searchsorted(light.v_cdf, s2, side="left"), 0, nv - 1)
-    cdf_lo = jnp.where(iv > 0, light.v_cdf[jnp.maximum(iv - 1, 0)], 0.0)
-    dv = jnp.maximum(light.v_cdf[iv] - cdf_lo, 1e-12)
+    iv = jnp.clip(_count_below(light.v_cdf[None, :], s2), 0, nv - 1)
+    # [3, NV] side table: cdf, cdf shifted right (prev, 0 at index 0), pdf
+    v_prev = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                              light.v_cdf[:-1]])
+    v_rows = _row_decode(jnp.stack([light.v_cdf, v_prev, light.v_pdf],
+                                   axis=1), iv)          # [N, 3]
+    cdf_lo = v_rows[:, 1]
+    dv = jnp.maximum(v_rows[:, 0] - cdf_lo, 1e-12)
     v = (iv.astype(jnp.float32) + jnp.clip((s2 - cdf_lo) / dv, 0, 1)) / nv
-    pv = light.v_pdf[iv]
+    pv = v_rows[:, 2]
 
-    row_cdf = light.u_cdf[iv]                  # [N,NU]
-    iu = jnp.clip(jax.vmap(lambda c, s: jnp.searchsorted(c, s, side="left"))(
-        row_cdf, s1), 0, nu - 1)
+    row_cdf = _row_decode(light.u_cdf, iv)               # [N, NU]
+    iu = jnp.clip(_count_below(row_cdf, s1), 0, nu - 1)
     cdf_lo_u = jnp.where(iu > 0,
-                         jnp.take_along_axis(row_cdf,
-                                             jnp.maximum(iu - 1, 0)[..., None],
-                                             axis=-1)[..., 0], 0.0)
-    du = jnp.maximum(jnp.take_along_axis(row_cdf, iu[..., None],
-                                         axis=-1)[..., 0] - cdf_lo_u, 1e-12)
+                         _col_pick(row_cdf, jnp.maximum(iu - 1, 0)), 0.0)
+    du = jnp.maximum(_col_pick(row_cdf, iu) - cdf_lo_u, 1e-12)
     u = (iu.astype(jnp.float32) + jnp.clip((s1 - cdf_lo_u) / du, 0, 1)) / nu
-    pu = light.u_pdf[iv, iu]
+    pu = _col_pick(_row_decode(light.u_pdf, iv), iu)
     return u, v, pu, pv
 
 
@@ -132,8 +164,9 @@ def _pdf_from_dir(light: BgLight, d):
     nu = light.u_cdf.shape[1]
     iv = jnp.clip((v * nv).astype(jnp.int32), 0, nv - 1)
     iu = jnp.clip((u * nu).astype(jnp.int32), 0, nu - 1)
-    pu = light.u_pdf[iv, iu]
-    pv = light.v_pdf[iv]
+    vp = _row_decode(jnp.stack([light.v_pdf], axis=1), iv)   # [N, 1]
+    pv = vp[:, 0]
+    pu = _col_pick(_row_decode(light.u_pdf, iv), iu)
     sin_t = jnp.maximum(jnp.sin(np.pi * v), 1e-9)
     return jnp.maximum(pu * pv / (2.0 * np.pi * np.pi * sin_t), SIGMA)
 

@@ -124,6 +124,11 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     """
     cam = scene.camera
     h, w = cam.resy, cam.resx
+    # sample0/pass_offs are TRACED (plain arithmetic into the QMC streams)
+    # so chunk 17 reuses chunk 0's executable — a static chunk index would
+    # recompile per chunk (minutes each through the remote-TPU tunnel)
+    sample0 = jnp.asarray(sample0, jnp.int32)
+    pass_offs = jnp.asarray(pass_offs, jnp.uint32)
     grid_fast = isinstance(y0, int) and y0 == 0 and (rows is None or rows == h)
     if grid_fast:
         x, y, s = _pixel_grid_raster(h, w, spp)
@@ -133,7 +138,7 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     pix_i = y.astype(jnp.uint32)
     pix_j = x.astype(jnp.uint32)
     sampling_offs = qmc.fnv32a(pix_i * qmc.fnv32a(pix_j))
-    pixel_sample = (np.uint32(pass_offs) + s.astype(jnp.uint32))
+    pixel_sample = (pass_offs + s.astype(jnp.uint32))
 
     n_total = opts.aa_samples  # for single-pass stratification
     if opts.aa_passes > 1:
@@ -147,9 +152,9 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
         dy = jnp.full(x.shape, 0.5, jnp.float32)
 
     lens_u = qmc.radical_inverse(
-        3, np.uint32(pass_offs) + sampling_offs + s.astype(jnp.uint32) + 1)
+        3, pass_offs + sampling_offs + s.astype(jnp.uint32) + 1)
     lens_v = qmc.radical_inverse(
-        5, np.uint32(pass_offs) + sampling_offs + s.astype(jnp.uint32) + 1)
+        5, pass_offs + sampling_offs + s.astype(jnp.uint32) + 1)
 
     px = x.astype(jnp.float32) + dx
     py = y.astype(jnp.float32) + dy
@@ -212,8 +217,8 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("types_present", "opts", "pass_offs",
-                                    "spp", "sample0", "with_mask"))
+                   static_argnames=("types_present", "opts", "spp",
+                                    "with_mask"))
 def _render_chunk_jit(scene, types_present, opts, film, pass_offs, spp,
                       sample0, resample_mask, with_mask, aux):
     return render_chunk(scene, types_present, opts, film, pass_offs, spp,

@@ -184,3 +184,41 @@ def test_render_with_point_and_spot():
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert img[..., :3].max() > 0.01
+
+
+def test_bglight_cdf_inversion_gather_free():
+    """The gather-free 2-D CDF inversion (one-hot matmul row fetch +
+    compare-reduce searches) matches the straightforward gather/
+    searchsorted formulation exactly."""
+    import jax.numpy as jnp
+    from core_tpu import backgrounds as bgm
+    from core_tpu.lights import bg as B
+
+    bg = bgm.make_sunsky_background((0.3, 0.2, 0.8), turbidity=3.0)
+    L = B.make_bg_light(bg, samples=4, nv=32, nu=64)
+    rng = np.random.default_rng(3)
+    s1 = jnp.asarray(rng.random(1024), jnp.float32)
+    s2 = jnp.asarray(rng.random(1024), jnp.float32)
+    u, v, pu, pv = B._sample_uv(L, s1, s2)
+
+    vc = np.asarray(L.v_cdf)
+    vp = np.asarray(L.v_pdf)
+    uc = np.asarray(L.u_cdf)
+    up = np.asarray(L.u_pdf)
+    s1n, s2n = np.asarray(s1), np.asarray(s2)
+    nv, nu = vc.shape[0], uc.shape[1]
+    iv = np.clip(np.searchsorted(vc, s2n, side="left"), 0, nv - 1)
+    cdf_lo = np.where(iv > 0, vc[np.maximum(iv - 1, 0)], 0.0)
+    dv = np.maximum(vc[iv] - cdf_lo, 1e-12)
+    v_ref = (iv + np.clip((s2n - cdf_lo) / dv, 0, 1)) / nv
+    rows = uc[iv]
+    iu = np.clip(np.array([np.searchsorted(rows[i], s1n[i], side="left")
+                           for i in range(len(s1n))]), 0, nu - 1)
+    lo_u = np.where(iu > 0, rows[np.arange(len(iu)),
+                                 np.maximum(iu - 1, 0)], 0.0)
+    du = np.maximum(rows[np.arange(len(iu)), iu] - lo_u, 1e-12)
+    u_ref = (iu + np.clip((s1n - lo_u) / du, 0, 1)) / nu
+    np.testing.assert_allclose(np.asarray(u), u_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), v_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pu), up[iv, iu], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pv), vp[iv], atol=1e-6)
