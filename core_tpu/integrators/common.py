@@ -120,11 +120,20 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
             # ONE shadow kernel launch for both MIS sides: all 2n rays of
             # a lane share its origin, so the shared-origin NEE kernel
             # computes the origin-only MT terms once per triangle
+            # Dead-ray tcap (0 < tcap <= tmin -> empty t interval) for
+            # lanes whose MIS side is invalid: their occlusion bit is
+            # masked out of l_ok/b_ok below anyway, but tracing them as
+            # open rays wastes triangle tests and blocks the planar-
+            # cluster cull (an open ray's far endpoint is at infinity).
+            dead = 0.5 * SHADOW_BIAS
+            l_tcap = jnp.where(ls.valid & (ls.dist > SHADOW_BIAS),
+                               ls.dist - SHADOW_BIAS, dead)
+            b_tcap = jnp.where(lh.valid & (lh.t > SHADOW_BIAS),
+                               lh.t - SHADOW_BIAS, dead)
             shad = scene_mod.any_hit_nee_s(
                 scene, sps.p, tmin_nee,
                 slices3(ls.wi) + slices3(sres.wi),
-                slices1(ls.dist - SHADOW_BIAS)
-                + slices1(lh.t - SHADOW_BIAS),
+                slices1(l_tcap) + slices1(b_tcap),
                 exclude_prim=sps.prim)
             shad = checkpoint_name(shad, "nee_kernel")
             l_shadowed = shad[:n * N]
@@ -143,9 +152,11 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
                 & (lh.ipdf > 1e-6)
             total = where3(l_ok, lcontrib, 0.0) + where3(b_ok, bcontrib, 0.0)
         else:
+            l_tcap = jnp.where(ls.valid & (ls.dist > SHADOW_BIAS),
+                               ls.dist - SHADOW_BIAS, 0.5 * SHADOW_BIAS)
             shadowed = scene_mod.any_hit_nee_s(
                 scene, sps.p, tmin_nee, slices3(ls.wi),
-                slices1(ls.dist - SHADOW_BIAS), exclude_prim=sps.prim)
+                slices1(l_tcap), exclude_prim=sps.prim)
             shadowed = checkpoint_name(shadowed, "nee_kernel")
             contrib = surf * ls.col * (cos_term / jnp.maximum(ls.pdf, 1e-12))
             ok = activeb & ls.valid & (~shadowed) & (ls.pdf > 1e-6)

@@ -96,3 +96,51 @@ def test_any_hit_nee_bundle_matches_brute():
     want = isect.any_hit_brute(s.geom, rays,
                                exclude_prim=jnp.asarray(np.tile(ex, K)))
     assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_any_hit_nee_dead_and_coherent_bundles():
+    """NEE bundle kernel on coherent floor-to-light bundles plus dead
+    rays (0 < tcap <= tmin, the masked-invalid-MIS-lane encoding used by
+    integrators/common.py) — dead rays must never report occlusion."""
+    import jax.numpy as jnp
+    from core_tpu.scenes import cornell_box
+    from core_tpu.geometry import pallas_intersect as pk
+    from core_tpu.geometry import intersect as isect
+    from core_tpu.types import Rays
+    from core_tpu import vec
+
+    s = cornell_box(resx=8, resy=8, light_samples=1)
+    rng = np.random.default_rng(11)
+    N, K = 640, 4
+    # origins on the floor, targets near the ceiling light: every wall/
+    # floor/ceiling cluster should be culled, only the blocks tested
+    o = np.stack([rng.uniform(10, 540, N), np.full(N, 1.0),
+                  rng.uniform(10, 540, N)], 1).astype(np.float32)
+    tgt = np.stack([rng.uniform(213, 343, (K, N)),
+                    np.full((K, N), 548.0),
+                    rng.uniform(227, 332, (K, N))], -1).astype(np.float32)
+    dirs, tcaps, cat_d, cat_t = [], [], [], []
+    for k in range(K):
+        d = tgt[k] - o
+        t = np.linalg.norm(d, axis=1).astype(np.float32)
+        d = (d / t[:, None]).astype(np.float32)
+        t = t - 0.5   # back off the target surface (as NEE's shadow bias
+        # does) so t ~= tcap boundary rounding can't differ between the
+        # division-free kernel and the brute reference
+        if k == K - 1:
+            t = np.full(N, 2.5e-4, np.float32)   # dead rays: tcap < tmin
+        dirs.append(vec.v3(jnp.asarray(d)))
+        tcaps.append(jnp.asarray(t))
+        cat_d.append(d)
+        cat_t.append(t)
+    got = pk.any_hit_nee_pallas_s(
+        s.geom, vec.v3(jnp.asarray(o)), jnp.full(N, 5e-4), dirs, tcaps,
+        interpret=True)
+    rays = Rays(o=jnp.asarray(np.tile(o, (K, 1))),
+                d=jnp.asarray(np.concatenate(cat_d)),
+                tmin=jnp.full(K * N, 5e-4),
+                tmax=jnp.asarray(np.concatenate(cat_t)))
+    want = isect.any_hit_brute(s.geom, rays)
+    assert (np.asarray(got) == np.asarray(want)).all()
+    assert not np.asarray(got)[(K - 1) * N:].any()          # dead rays
+    assert np.asarray(got)[:N].any()                        # blocks occlude
