@@ -33,6 +33,21 @@ from core_tpu.lights import base as light_base
 LOFFS_DELTA = 4567  # reference mcintegrator.cc:42
 
 
+def _shadow_tcap(valid, dist):
+    """Shadow-ray t cap from a light-sample distance.
+
+    dist <= 0 is the 'unbounded shadow ray' sentinel returned by BgLight
+    (bg.py) and SunLight (sun.py) — the reference scene_t::isShadowed
+    treats tmax < 0 as infinity; the kernel wrappers map tcap <= 0 to BIG
+    (open ray), so -1.0 is the open sentinel here.  Invalid lanes and
+    valid-but-sub-bias distances get a dead cap (0 < tcap <= tmin -> empty
+    t interval) so they cost no triangle tests.
+    """
+    dead = 0.5 * SHADOW_BIAS
+    bounded = jnp.where(dist > SHADOW_BIAS, dist - SHADOW_BIAS, dead)
+    return jnp.where(valid, jnp.where(dist > 0, bounded, -1.0), dead)
+
+
 def _tile_sp(sps, n):
     return vec.SPS(p=tile3(sps.p, n), n=tile3(sps.n, n), ng=tile3(sps.ng, n),
                    nu=tile3(sps.nu, n), nv=tile3(sps.nv, n),
@@ -125,11 +140,8 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
             # masked out of l_ok/b_ok below anyway, but tracing them as
             # open rays wastes triangle tests and blocks the planar-
             # cluster cull (an open ray's far endpoint is at infinity).
-            dead = 0.5 * SHADOW_BIAS
-            l_tcap = jnp.where(ls.valid & (ls.dist > SHADOW_BIAS),
-                               ls.dist - SHADOW_BIAS, dead)
-            b_tcap = jnp.where(lh.valid & (lh.t > SHADOW_BIAS),
-                               lh.t - SHADOW_BIAS, dead)
+            l_tcap = _shadow_tcap(ls.valid, ls.dist)
+            b_tcap = _shadow_tcap(lh.valid, lh.t)
             shad = scene_mod.any_hit_nee_s(
                 scene, sps.p, tmin_nee,
                 slices3(ls.wi) + slices3(sres.wi),
@@ -152,8 +164,7 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
                 & (lh.ipdf > 1e-6)
             total = where3(l_ok, lcontrib, 0.0) + where3(b_ok, bcontrib, 0.0)
         else:
-            l_tcap = jnp.where(ls.valid & (ls.dist > SHADOW_BIAS),
-                               ls.dist - SHADOW_BIAS, 0.5 * SHADOW_BIAS)
+            l_tcap = _shadow_tcap(ls.valid, ls.dist)
             shadowed = scene_mod.any_hit_nee_s(
                 scene, sps.p, tmin_nee, slices3(ls.wi),
                 slices1(l_tcap), exclude_prim=sps.prim)

@@ -112,8 +112,8 @@ def test_any_hit_nee_dead_and_coherent_bundles():
     s = cornell_box(resx=8, resy=8, light_samples=1)
     rng = np.random.default_rng(11)
     N, K = 640, 4
-    # origins on the floor, targets near the ceiling light: every wall/
-    # floor/ceiling cluster should be culled, only the blocks tested
+    # origins on the floor, targets near the ceiling light (a coherent
+    # upward NEE bundle, the common wavefront case)
     o = np.stack([rng.uniform(10, 540, N), np.full(N, 1.0),
                   rng.uniform(10, 540, N)], 1).astype(np.float32)
     tgt = np.stack([rng.uniform(213, 343, (K, N)),
