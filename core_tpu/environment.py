@@ -225,16 +225,35 @@ class SceneBuilder:
         return scene
 
     def render_options(self):
+        span = None
+        if self.volumes:
+            span = max(float(np.linalg.norm(np.asarray(v.bmax)
+                                            - np.asarray(v.bmin)))
+                       for v in self.volumes)
         return setup_render_options(self.render_params,
                                     self.integrator_params,
-                                    self.volume_integrator_params)
+                                    self.volume_integrator_params,
+                                    volume_span=span)
+
+
+def volume_march_steps(step_size: float, volume_span: Optional[float]) -> int:
+    """Static march step count from the reference's world-space stepSize
+    (SingleScatterIntegrator.cc:16): steps ~= span / stepSize over the
+    largest volume's diagonal, clamped so TPU static shapes stay sane."""
+    if volume_span is None or volume_span <= 0:
+        return 16
+    return int(np.clip(np.ceil(volume_span / step_size), 4, 128))
 
 
 def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
-                         vp: Optional[ParamMap]):
+                         vp: Optional[ParamMap],
+                         volume_span: Optional[float] = None):
     """Map the reference's global render + integrator params onto
     RenderOptions (environment.cc setupScene :596-705, createImageFilm
-    :481-532; integrator factories in src/integrators/)."""
+    :481-532; integrator factories in src/integrators/).
+
+    volume_span: host-side diagonal of the largest volume region (used to
+    turn the reference's world-space stepSize into a static march count)."""
     from core_tpu.render import RenderOptions
     from core_tpu.film import FilterType
     from core_tpu.integrators.direct import DirectOptions
@@ -260,6 +279,29 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
             no_recursive=ip.get_bool("no_recursive", False),
             caustic_type=ip.get_str("caustic_type", "path"),
             **common_ao)
+    elif itype == "photonmapping":
+        from core_tpu.integrators.photonmap import PhotonOptions
+        integrator = "photonmapping"
+        iopts = PhotonOptions(
+            photons=ip.get_int("photons", 100000),
+            c_photons=ip.get_int("cPhotons", 50000),
+            diffuse_radius=ip.get_float("diffuseRadius", 1.0),
+            caustic_radius=ip.get_float("causticRadius", 0.1),
+            bounces=ip.get_int("bounces", 5),
+            final_gather=ip.get_bool("finalGather", True),
+            fg_samples=ip.get_int("fg_samples", 16),
+            raydepth=raydepth,
+            transp_background=rp.get_bool("bg_transp", False))
+    elif itype == "SPPM":
+        from core_tpu.integrators.sppm import SPPMOptions
+        integrator = "SPPM"
+        iopts = SPPMOptions(
+            passes=ip.get_int("passNums", 8),
+            photons=ip.get_int("photons", 100000),
+            bounces=ip.get_int("bounces", 5),
+            search_radius=ip.get_float("photonRadius", 1.0)
+            * ip.get_float("times", 1.0),
+            raydepth=raydepth)
     elif itype == "bidirectional":
         from core_tpu.integrators.bidir import BidirOptions
         integrator = "bidirectional"
@@ -276,9 +318,11 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
             show_pn=ip.get_bool("showPN", False))
     else:
         if itype not in ("directlighting",):
-            import warnings
-            warnings.warn(f"integrator '{itype}' not yet TPU-native; "
-                          "falling back to directlighting")
+            # the reference aborts on an unknown integrator plugin
+            # (environment.cc createIntegrator nullptr -> setupScene fail);
+            # silently rendering a different algorithm would poison golden
+            # comparisons, so raise instead of falling back
+            raise ValueError(f"unknown surface integrator type '{itype}'")
         integrator = "directlight"
         iopts = DirectOptions(
             raydepth=raydepth,
@@ -295,9 +339,10 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
             # (Rayleigh/Mie phase handled by the region, SkyIntegrator.cc)
             "SkyIntegrator": "singlescatter",
             "none": "none"}
+    step_size = max(1e-4, (vp or ParamMap()).get_float("stepSize", 1.0))
     vopts = VolumeOptions(integrator=vmap.get(vtype, "none"),
-                          steps=max(4, int((vp or ParamMap()).get_float(
-                              "stepSize", 1.0) * 0 + 16)))
+                          step_size=step_size,
+                          steps=volume_march_steps(step_size, volume_span))
 
     filt = {"box": FilterType.BOX, "mitchell": FilterType.MITCHELL,
             "gauss": FilterType.GAUSS, "lanczos": FilterType.LANCZOS}.get(

@@ -48,6 +48,17 @@ def _shadow_tcap(valid, dist):
     return jnp.where(valid, jnp.where(dist > 0, bounded, -1.0), dead)
 
 
+def _apply_vol_transmittance(scene, o3, wi3, dist, contrib):
+    """Attenuate a light sample through the scene volumes (the reference
+    multiplies every NEE sample by the volume integrator's transmittance,
+    mcintegrator.cc:96,131,181).  No-op (trace-time) without volumes."""
+    if not scene.volumes:
+        return contrib
+    from core_tpu.integrators import volume as vol_mod
+    tr = vol_mod.transmittance_nee_s(scene, o3, wi3, dist)
+    return contrib * vec.v3(tr)
+
+
 def _tile_sp(sps, n):
     return vec.SPS(p=tile3(sps.p, n), n=tile3(sps.n, n), ng=tile3(sps.ng, n),
                    nu=tile3(sps.nu, n), nv=tile3(sps.nv, n),
@@ -77,6 +88,8 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
         surf = dispatch.eval_bsdf_s(types_present, p, sps, wo, ls.wi,
                                     BSDF.ALL)
         contrib = surf * ls.col * jnp.abs(dot3(sps.n, ls.wi))
+        contrib = _apply_vol_transmittance(scene, sps.p, ls.wi, ls.dist,
+                                           contrib)
         ok = active & ls.valid & (~shadowed)
         return where3(ok, contrib, 0.0)
 
@@ -153,6 +166,8 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
 
             lcontrib = surf * ls.col * ((cos_term * w
                                          / jnp.maximum(ls.pdf, 1e-12)))
+            lcontrib = _apply_vol_transmittance(scene, spb.p, ls.wi, ls.dist,
+                                                lcontrib)
             l_ok = activeb & ls.valid & (~l_shadowed) & (ls.pdf > 1e-6)
 
             lpdf = 1.0 / jnp.maximum(lh.ipdf, 1e-12)
@@ -160,6 +175,8 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
             m2b = sres.pdf * sres.pdf
             wb = m2b / jnp.maximum(l2b + m2b, 1e-20)
             bcontrib = sres.col * lh.col * (wb * sres.w)
+            bcontrib = _apply_vol_transmittance(scene, spb.p, sres.wi, lh.t,
+                                                bcontrib)
             b_ok = activeb & lh.valid & (~b_shadowed) & (sres.pdf > 1e-6) \
                 & (lh.ipdf > 1e-6)
             total = where3(l_ok, lcontrib, 0.0) + where3(b_ok, bcontrib, 0.0)
@@ -170,6 +187,8 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
                 slices1(l_tcap), exclude_prim=sps.prim)
             shadowed = checkpoint_name(shadowed, "nee_kernel")
             contrib = surf * ls.col * (cos_term / jnp.maximum(ls.pdf, 1e-12))
+            contrib = _apply_vol_transmittance(scene, spb.p, ls.wi, ls.dist,
+                                               contrib)
             ok = activeb & ls.valid & (~shadowed) & (ls.pdf > 1e-6)
             total = where3(ok, contrib, 0.0)
         return untile_sum3(total, n) * inv_n

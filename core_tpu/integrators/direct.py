@@ -18,15 +18,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from core_tpu.mathutils import dot, luminance, MIN_RAYDIST
+from core_tpu.mathutils import dot, MIN_RAYDIST
 from core_tpu.types import Rays
 from core_tpu import scene as scene_mod
 from core_tpu.sampling import qmc
-from core_tpu.sampling.utils import sample_cos_hemisphere
 from core_tpu.materials import dispatch
 from core_tpu.materials import base as base_mod
-from core_tpu.materials.base import BSDF, gather_params
+from core_tpu.materials.base import BSDF
 from core_tpu.integrators import common
+from core_tpu.integrators.raytrace import apply_dispersion  # noqa: F401 (re-export)
 from core_tpu.backgrounds import eval_background
 
 
@@ -92,30 +92,11 @@ def _ambient_occlusion(scene, types_present, p, sp, wo, pixel_sample,
     return acc / n
 
 
-def apply_dispersion(cur_p, chromatic, wl, throughput):
-    """Spectral dispersion on specular chains (mcintegrator.cc:421-628
-    dispersive branch): when a path first enters a DISPERSIVE material, it
-    turns monochromatic — one wavelength wl sampled per camera sample, the
-    throughput weighted by wl2rgb, and the IOR replaced by Cauchy n(wl).
-    The reference splits the trajectory over several wavelengths; one
-    stochastic wavelength per sample has the same expectation (documented
-    deviation, more color noise at equal sample counts)."""
-    from core_tpu.sampling import spectrum
-    # gate on dispersion_power like the reference glass ctor (glass.cc)
-    disp = cur_p.dispersion > 0.0
-    newly = disp & (~chromatic)
-    a, b = spectrum.cauchy_coefficients(cur_p.ior, cur_p.dispersion)
-    ior_wl = spectrum.cauchy_ior(wl, a, b)
-    p2 = cur_p._replace(ior=jnp.where(disp, ior_wl, cur_p.ior))
-    w = spectrum.wl2rgb(wl)
-    throughput = jnp.where(newly[..., None], throughput * w, throughput)
-    return p2, chromatic | disp, throughput
-
-
 def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
               opts: DirectOptions, aux=None):
     """Full directlight integrate() for a camera-ray wavefront.
     Returns rgba [N,4].  aux: SSS photon map when opts.use_sss."""
+    from core_tpu.integrators import raytrace
     n = rays.o.shape[0]
     hits = scene_mod.closest_hit(scene, rays)
     primary_valid = hits.valid
@@ -127,50 +108,16 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     alpha = jnp.where(primary_valid, 1.0,
                       0.0 if opts.transp_background else 1.0)
 
-    # --- specular chains (stochastic single-branch wavefront) ---
-    throughput = jnp.ones_like(col)
-    cur_sp, cur_p = sp, p
-    cur_wo = -rays.d
-    active = primary_valid
-    exclude = sp.prim
-    spec_depth = opts.raydepth if scene.has_specular else 0
-    chromatic = jnp.zeros(n, bool)
-    wl = qmc.scr_halton(29, pixel_sample.astype(jnp.uint32) + sampling_offs)
-    for depth in range(spec_depth):
-        cur_p, chromatic, throughput = apply_dispersion(
-            cur_p, chromatic, wl, throughput)
-        spec = dispatch.get_specular(types_present, cur_p, cur_sp, cur_wo)
-        lum_refl = luminance(spec.refl_col) * spec.refl_valid
-        lum_refr = luminance(spec.refr_col) * spec.refr_valid
-        total = lum_refl + lum_refr
-        cont = active & (total > 1e-7)
-        r = qmc.scr_halton(2 * depth + 5,
-                           pixel_sample.astype(jnp.uint32) + sampling_offs)
-        p_refl = jnp.where(total > 0, lum_refl / jnp.maximum(total, 1e-20), 0.0)
-        take_refl = (r < p_refl) & spec.refl_valid
-        branch_col = jnp.where(take_refl[..., None], spec.refl_col, spec.refr_col)
-        branch_dir = jnp.where(take_refl[..., None], spec.refl_dir, spec.refr_dir)
-        branch_p = jax.lax.stop_gradient(
-            jnp.where(take_refl, p_refl, 1.0 - p_refl))
-        throughput_new = throughput * branch_col / jnp.maximum(
-            branch_p, 1e-6)[..., None]
+    # specular + glossy indirect chains (mcintegrator.cc recursiveRaytrace)
+    chain = scene.has_specular or raytrace.has_glossy(types_present)
+    if chain and opts.raydepth > 0:
+        def shade_fn(nrays, nhits, include_lights, active):
+            return _shade_hit(scene, types_present, nrays, nhits,
+                              pixel_sample, sampling_offs, include_lights,
+                              opts, aux=aux)
 
-        nrays = Rays(o=cur_sp.p, d=branch_dir,
-                     tmin=jnp.full(n, MIN_RAYDIST), tmax=jnp.full(n, -1.0))
-        nhits = scene_mod.closest_hit(scene, nrays, exclude_prim=exclude)
-        hit_ok = nhits.valid & cont
-        # misses on specular chain pick up the background
-        bg2 = eval_background(scene.background, branch_dir)
-        col = col + jnp.where((cont & ~nhits.valid)[..., None],
-                              throughput_new * bg2, 0.0)
-        scol, nsp, np_ = _shade_hit(scene, types_present, nrays, nhits,
-                                    pixel_sample, sampling_offs,
-                                    jnp.ones(n, bool), opts, aux=aux)
-        col = col + jnp.where(hit_ok[..., None], throughput_new * scol, 0.0)
-        throughput = throughput_new
-        cur_sp, cur_p = nsp, np_
-        cur_wo = -branch_dir
-        exclude = nsp.prim
-        active = hit_ok
+        col = col + raytrace.recursive_raytrace(
+            scene, types_present, rays, hits, sp, p, shade_fn,
+            pixel_sample, sampling_offs, opts.raydepth)
 
     return jnp.concatenate([col, alpha[..., None]], axis=-1)

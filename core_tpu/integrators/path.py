@@ -174,74 +174,33 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     alpha = jnp.where(primary_valid, 1.0,
                       0.0 if opts.transp_background else 1.0)
 
-    # camera-visible specular chains: same machinery as the direct integrator
-    if scene.has_specular and opts.raydepth > 0:
-        from core_tpu.integrators import direct as direct_mod
-        dopts = direct_mod.DirectOptions(raydepth=opts.raydepth)
+    # camera-visible specular/glossy chains: the shared recursiveRaytrace
+    # (chain hits are shaded with emission — gated to specular branches —
+    # plus MIS direct light; deeper indirect at chain vertices is a
+    # documented deviation: the reference re-enters integrate() there)
+    from core_tpu.integrators import raytrace
+    chain = (scene.has_specular or raytrace.has_glossy(types_present)) \
+        and opts.raydepth > 0 and not opts.no_recursive
+    if chain:
         sp_a = vec.sp_to_aos(sp)
         p_a = dispatch._params_to_aos(p)
-        spec = _specular_chains(scene, types_present, rays, hits, sp_a, p_a,
-                                pixel_sample, sampling_offs, opts, dopts)
+
+        def shade_fn(nrays, nhits, include_lights, act):
+            nsp = scene_mod.surface_points(scene, nrays, nhits)
+            np_ = scene_mod.material_params(scene, nsp)
+            nwo = -nrays.d
+            emit_c = dispatch.emit(types_present, np_)
+            has_emit = (np_.flags & BSDF.EMIT) != 0
+            scol = jnp.where((has_emit & include_lights)[..., None],
+                             emit_c, 0.0)
+            nhas_diff = (np_.flags & BSDF.DIFFUSE) != 0
+            scol = scol + common.estimate_all_direct(
+                scene, types_present, np_, nsp, nwo, pixel_sample,
+                sampling_offs, act & nhas_diff)
+            return scol, nsp, np_
+
+        spec = raytrace.recursive_raytrace(
+            scene, types_present, rays, hits, sp_a, p_a, shade_fn,
+            pixel_sample, sampling_offs, opts.raydepth)
         col = col + vec.v3(spec)
     return jnp.stack([col.x, col.y, col.z, alpha], axis=-1)
-
-
-def _specular_chains(scene, types_present, rays, hits, sp, p, pixel_sample,
-                     sampling_offs, opts: PathOptions, dopts):
-    """Stochastic single-branch specular recursion; each specular hit is
-    shaded with full path-traced lighting minus double-counted emission.
-    (AoS legacy path — runs only for scenes with specular materials.)"""
-    from core_tpu.mathutils import luminance
-    from core_tpu.integrators import direct as direct_mod
-    n = rays.o.shape[0]
-    col = jnp.zeros(rays.d.shape, jnp.float32)
-    throughput = jnp.ones_like(col)
-    cur_sp, cur_p = sp, p
-    cur_wo = -rays.d
-    active = hits.valid
-    exclude = sp.prim
-    chromatic = jnp.zeros(n, bool)
-    wl = qmc.scr_halton(29, pixel_sample.astype(jnp.uint32) + sampling_offs)
-    for depth in range(opts.raydepth):
-        cur_p, chromatic, throughput = direct_mod.apply_dispersion(
-            cur_p, chromatic, wl, throughput)
-        spec = dispatch.get_specular(types_present, cur_p, cur_sp, cur_wo)
-        lum_refl = luminance(spec.refl_col) * spec.refl_valid
-        lum_refr = luminance(spec.refr_col) * spec.refr_valid
-        total = lum_refl + lum_refr
-        cont = active & (total > 1e-7)
-        r = qmc.scr_halton(2 * depth + 5,
-                           pixel_sample.astype(jnp.uint32) + sampling_offs)
-        p_refl = jnp.where(total > 0, lum_refl / jnp.maximum(total, 1e-20), 0.0)
-        take_refl = (r < p_refl) & spec.refl_valid
-        branch_col = jnp.where(take_refl[..., None], spec.refl_col, spec.refr_col)
-        branch_dir = jnp.where(take_refl[..., None], spec.refl_dir, spec.refr_dir)
-        branch_p = jax.lax.stop_gradient(
-            jnp.where(take_refl, p_refl, 1.0 - p_refl))
-        throughput = throughput * branch_col / jnp.maximum(branch_p, 1e-6)[..., None]
-
-        nrays = Rays(o=cur_sp.p, d=branch_dir,
-                     tmin=jnp.full(n, MIN_RAYDIST), tmax=jnp.full(n, -1.0))
-        nhits = scene_mod.closest_hit(scene, nrays, exclude_prim=exclude)
-        hit_ok = nhits.valid & cont
-        bg2 = eval_background(scene.background, branch_dir) \
-            if scene.background is not None else jnp.zeros_like(branch_dir)
-        col = col + jnp.where((cont & ~nhits.valid)[..., None],
-                              throughput * bg2, 0.0)
-
-        nsp = scene_mod.surface_points(scene, nrays, nhits)
-        np_ = scene_mod.material_params(scene, nsp)
-        nwo = -branch_dir
-        emit_c = dispatch.emit(types_present, np_)
-        has_emit = (np_.flags & BSDF.EMIT) != 0
-        scol = jnp.where(has_emit[..., None], emit_c, 0.0)
-        nhas_diff = (np_.flags & BSDF.DIFFUSE) != 0
-        scol = scol + common.estimate_all_direct(
-            scene, types_present, np_, nsp, nwo, pixel_sample, sampling_offs,
-            hit_ok & nhas_diff)
-        col = col + jnp.where(hit_ok[..., None], throughput * scol, 0.0)
-        cur_sp, cur_p = nsp, np_
-        cur_wo = nwo
-        exclude = nsp.prim
-        active = hit_ok
-    return col

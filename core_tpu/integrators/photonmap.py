@@ -127,42 +127,67 @@ def _final_gather(scene, types_present, dmap, p, sp, wo, pixel_sample,
     return acc / n
 
 
-def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
-              opts: PhotonOptions, aux=None):
-    """integrate() (photonintegr.cc:791-860): emission + direct + caustic
-    photons + final-gathered indirect; specular chains like directlight."""
-    assert aux is not None, "photonmapping requires preprocess() aux maps"
-    n = rays.o.shape[0]
-    hits = scene_mod.closest_hit(scene, rays)
-    primary_valid = hits.valid
+def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
+               include_lights, opts: PhotonOptions, aux):
+    """Photon-map shading at given hits (emission + direct + caustic map +
+    indirect via final gather / direct radiance estimate); the per-hit body
+    shared by the primary wavefront and the specular/glossy chains.
+    Returns (col [N,3], sp, p)."""
     sp = scene_mod.surface_points(scene, rays, hits)
     p = scene_mod.material_params(scene, sp)
     wo = -rays.d
+    active = hits.valid
 
     col = jnp.zeros_like(rays.d)
     emit_c = dispatch.emit(types_present, p)
-    col = col + jnp.where(primary_valid[..., None], emit_c, 0.0)
+    col = col + jnp.where((active & include_lights)[..., None], emit_c, 0.0)
     has_diffuse = (p.flags & BSDF.DIFFUSE) != 0
     col = col + common.estimate_all_direct(scene, types_present, p, sp, wo,
                                            pixel_sample, sampling_offs,
-                                           primary_valid)
+                                           active)
     if "caustic" in aux:
         cc = _caustic_radiance(aux["caustic"], p, sp, wo, types_present,
                                opts.caustic_radius)
-        col = col + jnp.where((primary_valid & has_diffuse)[..., None], cc,
-                              0.0)
+        col = col + jnp.where((active & has_diffuse)[..., None], cc, 0.0)
     if "diffuse" in aux:
         if opts.final_gather:
             ind = _final_gather(scene, types_present, aux["diffuse"], p, sp,
                                 wo, pixel_sample, sampling_offs,
-                                primary_valid & has_diffuse, opts)
+                                active & has_diffuse, opts)
         else:
             irr = pmap_mod.estimate_irradiance(aux["diffuse"], sp.p, sp.n,
                                                opts.diffuse_radius)
             alb = dispatch.eval_bsdf(types_present, p, sp, wo, sp.n, BSDF.ALL)
             ind = alb * irr / np.pi
-        col = col + jnp.where((primary_valid & has_diffuse)[..., None], ind,
-                              0.0)
+        col = col + jnp.where((active & has_diffuse)[..., None], ind, 0.0)
+    return col, sp, p
+
+
+def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
+              opts: PhotonOptions, aux=None):
+    """integrate() (photonintegr.cc:791-860): emission + direct + caustic
+    photons + final-gathered indirect; specular/glossy chains through the
+    shared recursiveRaytrace (photonintegr.cc:791-860 recurses the same
+    way as directlight)."""
+    from core_tpu.integrators import raytrace
+    assert aux is not None, "photonmapping requires preprocess() aux maps"
+    n = rays.o.shape[0]
+    hits = scene_mod.closest_hit(scene, rays)
+    primary_valid = hits.valid
+
+    col, sp, p = _shade_hit(scene, types_present, rays, hits, pixel_sample,
+                            sampling_offs, jnp.ones(n, bool), opts, aux)
+
+    chain = scene.has_specular or raytrace.has_glossy(types_present)
+    if chain and opts.raydepth > 0:
+        def shade_fn(nrays, nhits, include_lights, active):
+            return _shade_hit(scene, types_present, nrays, nhits,
+                              pixel_sample, sampling_offs, include_lights,
+                              opts, aux)
+
+        col = col + raytrace.recursive_raytrace(
+            scene, types_present, rays, hits, sp, p, shade_fn,
+            pixel_sample, sampling_offs, opts.raydepth)
 
     bg = eval_background(scene.background, rays.d)
     col = jnp.where(primary_valid[..., None], col, bg)

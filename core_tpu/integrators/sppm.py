@@ -167,12 +167,15 @@ def render_sppm(scene, opts: SPPMOptions, verbose=False):
             scene, types_present, rays, pixel_sample.astype(jnp.int32),
             sampling_offs, opts)
 
-        # photon pass
+        # photon pass — per-pass decorrelation: the pass index shifts the
+        # photon QMC stream so every pass shoots a FRESH population
+        # (sppm.cc prePass; a constant seed would converge to the
+        # single-map bias instead of the true solution)
         ppos, ppow, pdir, pok = pmap_mod.shoot_photons(
             scene, types_present, opts.photons, opts.bounces,
-            seed=7, caustic_only=False, scene_center=center,
+            seed=jnp.uint32(7) + pass_idx.astype(jnp.uint32) * jnp.uint32(9176),
+            caustic_only=False, scene_center=center,
             scene_radius=world_r)
-        # per-pass decorrelation: shift QMC by pass index via power offset
         grid = pmap_mod.build_photon_grid(ppos, ppow, pdir, pok, r0,
                                           bmin, bmax)
 

@@ -24,6 +24,33 @@ from core_tpu.lights import base as light_base
 class VolumeOptions:
     integrator: str = "none"      # none | emission | singlescatter
     steps: int = 16               # march steps per volume
+    step_size: float = 1.0        # reference stepSize (world units); the
+    #                               builder converts it to `steps` from the
+    #                               volume bounds (static TPU march count)
+
+
+# march resolution for volumetric attenuation of surface-NEE shadow rays
+# (the reference runs the full volume integrator per light sample,
+# mcintegrator.cc:96,131,181; a shorter fixed march bounds the cost of the
+# batched NEE wavefront)
+NEE_VOL_STEPS = 8
+
+
+def transmittance_nee_s(scene, o3, wi3, dist, steps: int = NEE_VOL_STEPS):
+    """Volumetric attenuation along surface-NEE shadow rays, SoA inputs.
+
+    o3/wi3: V3 [N] origin/direction; dist: [N] light distance (<= 0 means
+    unbounded — bg/sun sentinel).  Returns [N,3] transmittance.
+    Reference: doLightEstimation multiplies every light sample by
+    scene->volIntegrator->transmittance (mcintegrator.cc:96,131,181).
+    """
+    from core_tpu import vec
+    o = vec.aos(o3)
+    d = vec.aos(wi3)
+    n = dist.shape[0]
+    tmax = jnp.where(dist > 0, dist, 3.0e38)
+    rays = Rays(o=o, d=d, tmin=jnp.full(n, SHADOW_BIAS), tmax=tmax)
+    return transmittance(scene, rays, steps=steps)
 
 
 def transmittance(scene, rays: Rays, steps: int = 16) -> jnp.ndarray:

@@ -54,7 +54,10 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
     """
     n_lights = len(scene.lights)
     assert n_lights > 0
-    base = jnp.arange(n_photons, dtype=jnp.uint32) + np.uint32(seed * 77771)
+    # seed may be a traced scalar (SPPM threads its pass index in so each
+    # pass shoots a fresh photon population, sppm.cc prePass per-pass QMC)
+    base = (jnp.arange(n_photons, dtype=jnp.uint32)
+            + jnp.asarray(seed, jnp.uint32) * np.uint32(77771))
 
     s1 = qmc.ri_vdc(base)
     s2 = qmc.scr_halton(2, base)

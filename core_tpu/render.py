@@ -93,6 +93,11 @@ def _integrator_fn(opts: RenderOptions):
     if opts.integrator == "debug":
         from core_tpu.integrators import debug as dbg_mod
         return dbg_mod.integrate
+    if opts.integrator == "SPPM":
+        raise ValueError("SPPM replaces the chunked render loop entirely "
+                         "(its own progressive pass loop, sppm.cc:62-109); "
+                         "use render_image, which dispatches to "
+                         "integrators.sppm.render_sppm")
     raise ValueError(f"unknown integrator {opts.integrator}")
 
 
@@ -115,12 +120,16 @@ def integrator_preprocess(scene, types_present, opts: RenderOptions):
 def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
                  pass_offs: int, spp: int, sample0: int,
                  resample_mask: Optional[jnp.ndarray],
-                 y0=0, rows: Optional[int] = None, aux=None) -> Film:
+                 y0=0, rows: Optional[int] = None, aux=None,
+                 splat_y0=0) -> Film:
     """Trace spp samples for every pixel and splat into film.
 
     y0/rows restrict ray generation to a row block [y0, y0+rows) — used by
-    tile sharding (parallel/sharding.py); the splat still lands at global
-    pixel coordinates, so `film` must cover the full image height.
+    tile sharding (parallel/sharding.py).  splat_y0 shifts the SPLAT frame:
+    the film is taken to cover rows [splat_y0, splat_y0 + film_h) of the
+    image (row-sharded local films with filter halos); 0 = full image.
+    QMC streams always key off the GLOBAL pixel coordinate, so a sharded
+    render is sample-for-sample identical to the single-device one.
     """
     cam = scene.camera
     h, w = cam.resy, cam.resx
@@ -211,7 +220,7 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     if resample_mask is not None:
         mask = mask & resample_mask[y, x]
     return film_mod.add_samples(
-        film, x, y, dx, dy, rgba,
+        film, x, y - splat_y0, dx, dy, rgba,
         filterw=filterw,
         ftype=opts.filter_type, sample_mask=mask, clamp_rgb=opts.clamp_rgb)
 
@@ -242,6 +251,20 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False,
     imagefilm.cc:291-376; the Qt/Python outputs hang off that path)."""
     types_present = scene_material_types(scene)
     cam = scene.camera
+    if opts.integrator == "SPPM":
+        # SPPM owns its progressive pass loop (replaces the base tiled
+        # render, sppm.cc:62-109); fold the result into a unit-weight film
+        # so flush (gamma/clamp/premult) behaves identically
+        from core_tpu.integrators import sppm as sppm_mod
+        rgba = sppm_mod.render_sppm(scene, opts.integrator_opts,
+                                    verbose=verbose)
+        film = film_mod.Film(
+            rgba=rgba, weight=jnp.ones(rgba.shape[:2], jnp.float32),
+            density=jnp.zeros(rgba.shape[:2] + (3,), jnp.float32),
+            n_density=jnp.zeros((), jnp.float32))
+        img = film_mod.flush(film, gamma=opts.gamma, clamp=opts.clamp_rgb,
+                             premult=opts.premult)
+        return img, film
     film = film_mod.make_film(cam.resy, cam.resx)
     dummy_mask = jnp.ones((cam.resy, cam.resx), bool)
     aux = integrator_preprocess(scene, types_present, opts)

