@@ -1,28 +1,33 @@
-"""Bidirectional path tracer, wavefront form.
+"""Bidirectional path tracer, wavefront form, pdf-ratio MIS.
 
 Reference: src/integrators/bidirpath.cc + include/integrators/bdpt.h —
 eye and light subpaths (MAX_PATH_LENGTH bounded), vertex connections
-(connectPaths/connectLPath), per-technique weighting, s=1 splats.
+(connectPaths/connectLPath/connectPathE), per-technique pdf-ratio
+weighting with the MAXIMUM heuristic (pathWeight/pathWeight_0t,
+bidirpath.cc:697-830), s=1 light sampling, t=1 light-image splats.
 
-TPU-native shape: both subpaths are fixed-depth wavefront loops storing one
-vertex record per depth (SoA pytrees, no recursion); every (eye_i, light_j)
-vertex pair is connected with one batched visibility kernel launch and two
-batched BSDF evals.  Every lane advances in lockstep under masks.
+TPU-native shape: both subpaths are fixed-depth wavefront loops storing
+one vertex record per depth (SoA pytrees, no recursion, no russian
+roulette — the reference's RR qi factors are identically 1 here); every
+(eye_i, light_j) vertex pair is connected with one batched visibility
+kernel launch, two batched BSDF evals and four batched BSDF pdfs.  Every
+lane advances in lockstep under masks.
 
-Weighting (documented deviation): the reference weighs techniques by exact
-pdf ratios (bidirpath.cc pathWeight); here each complete path of length k is
-weighted uniformly over the techniques that can produce length k
-(1/n_k, the classic unbiased uniform combination) — same expectation,
-higher variance on caustic-heavy scenes.
+Weighting (bidirpath.cc pathWeight): for each complete path the pdfs
+p[0..k+1] of every technique that could have produced it are formed by
+ratio recurrences over per-vertex forward/backward pdfs and geometric
+factors, then the MAXIMUM heuristic keeps the sample iff its own
+technique has the largest pdf — 0/1 weights whose expectation sums to
+one over techniques (the reference's choice; simpler and lower-variance
+on caustics than uniform 1/n_k, which round 2 shipped).
 
 Strategies per path length k (k segments):
-  s=0  eye path hits an emitter            (emission term)
-  s=1  next-event estimation at eye vertex (one light sample)
-  s>=2 connection eye_i <-> light_j (j = s-1 surface vertices from light)
+  s=0  eye path hits an emitter                 (pathWeight_0t)
+  s=1  one light sample at the eye vertex       (connectLPath)
+  s>=2 connection eye_i <-> light_j             (connectPaths)
   t=1  light vertex connected to the camera — splatted into the film's
-       light image (the reference's density buffer: bidirpath.cc:239-262
-       connectPathE/evalPathE -> imageFilm_t::addDensitySample), merged at
-       flush scaled by w*h/n_paths (imagefilm.cc:402,411).
+       light image (connectPathE -> imageFilm_t::addDensitySample),
+       merged at flush scaled by w*h/n_paths (imagefilm.cc:402,411).
 """
 from __future__ import annotations
 
@@ -38,9 +43,11 @@ from core_tpu import scene as scene_mod
 from core_tpu.sampling import qmc
 from core_tpu.materials import dispatch
 from core_tpu.materials.base import BSDF, detach_sample
-from core_tpu.integrators import common
+from core_tpu.lights import base as light_base
 from core_tpu.backgrounds import eval_background
 from core_tpu.photon import emit as emit_mod
+
+_EPS = 1e-20
 
 
 @dataclass(frozen=True)
@@ -52,46 +59,132 @@ class BidirOptions:
 
 
 class _Vertex:
-    """One wavefront of subpath vertices (host-side container)."""
+    """One wavefront of subpath vertices (host-side container).
 
-    def __init__(self, sp, p, wo, throughput, active):
+    Fields mirror the reference pathVertex_t (bdpt.h): pdf_wo/cos_wo are
+    the sampled continuation's solid-angle pdf and |cos|; pdf_wi/cos_wi
+    the reverse pdf and incoming |cos|; G the geometric factor to the
+    PREVIOUS vertex; specular the sampled-flags delta marker."""
+
+    def __init__(self, sp, p, wo, throughput, active, cos_wi, ds, G):
         self.sp = sp
         self.p = p
         self.wo = wo                  # direction toward the previous vertex
         self.throughput = throughput  # [N,3] accumulated weight up to here
         self.active = active
+        self.cos_wi = cos_wi          # [N]
+        self.ds = ds                  # [N] squared dist to previous vertex
+        self.G = G                    # [N]
+        self.pdf_wo = None            # [N] filled when continuation sampled
+        self.cos_wo = None
+        self.pdf_wi = None
+        self.specular = None          # [N] bool
 
 
 def _walk(scene, types_present, rays, throughput0, active0, depth, base,
-          dim0, exclude0=None):
-    """Trace a subpath; returns list of _Vertex (one per surface hit)."""
+          dim0, prev_cos_wo, exclude0=None):
+    """Trace a subpath (createPath, bidirpath.cc:355-430); returns list of
+    _Vertex (one per surface hit) with pdf bookkeeping."""
+    n = rays.o.shape[0]
     verts = []
     throughput = throughput0
     active = active0
     exclude = exclude0
     cur = rays
     dim = dim0
+    prev_p = rays.o
+    prev_cos = prev_cos_wo
     for d in range(depth):
         hits = scene_mod.closest_hit(scene, cur, exclude_prim=exclude)
         active = active & hits.valid
         sp = scene_mod.surface_points(scene, cur, hits)
         p = scene_mod.material_params(scene, sp)
         wo = -cur.d
-        verts.append(_Vertex(sp, p, wo, throughput, active))
-        if d == depth - 1:
-            break
+        cos_wi = jnp.abs(dot(cur.d, sp.n))
+        ds = jnp.sum((sp.p - prev_p) ** 2, axis=-1)
+        G = prev_cos * cos_wi / jnp.maximum(ds, _EPS)
+        v = _Vertex(sp, p, wo, throughput, active, cos_wi, ds, G)
+        verts.append(v)
         s1 = qmc.scr_halton(dim, base)
         s2 = qmc.scr_halton(dim + 1, base)
         dim += 2
         sres = detach_sample(dispatch.sample_bsdf(
             types_present, p, sp, wo, s1, s2, BSDF.ALL))
+        v.pdf_wo = sres.pdf
+        v.cos_wo = sres.w * sres.pdf          # W = |cos|/pdf  ->  |cos|
+        v.specular = (sres.flags & BSDF.SPECULAR) != 0
+        rev = dispatch.pdf_bsdf(types_present, p, sp, sres.wi, wo, BSDF.ALL)
+        # specular events have no meaningful reverse pdf; the weighting
+        # zeroes the adjacent techniques anyway (pathWeight) — keep the
+        # forward pdf as the reference's pdf_back stand-in
+        v.pdf_wi = jnp.where(v.specular, sres.pdf, rev)
+        if d == depth - 1:
+            break
         throughput = throughput * sres.col * sres.w[..., None]
         active = active & (sres.pdf > 0) & (luminance(throughput) > 0)
         cur = Rays(o=sp.p, d=sres.wi,
                    tmin=jnp.full_like(s1, MIN_RAYDIST),
                    tmax=jnp.full_like(s1, -1.0))
         exclude = sp.prim
+        prev_p = sp.p
+        prev_cos = v.cos_wo
     return verts
+
+
+def _safe_div(a, b):
+    return a / jnp.maximum(b, _EPS)
+
+
+def _max_heuristic(p, s):
+    """weight = 1 iff no other technique has a larger pdf (pathWeight's
+    maximum heuristic).  Compared against p[s] AFTER the illum/emit and
+    specular corrections — for s=1 the correction rescales p[s] itself
+    (the reference compares p[i] > p[s] with the mutated array)."""
+    ref = p[s]
+    worse = jnp.zeros_like(ref, bool)
+    for i, pi in enumerate(p):
+        if i != s and pi is not None:
+            worse = worse | (pi > ref)
+    return jnp.where(worse, 0.0, 1.0)
+
+
+def _path_weight(pdf_f, pdf_b, G, spec, pdf_A_0, s, k, light_image,
+                 singular_l, pdf_illum, pdf_emit):
+    """pathWeight (bidirpath.cc:697-759) vectorized over lanes.
+
+    pdf_f/pdf_b/G/spec: python lists of [N] arrays indexed 0..k (entries
+    may be None where a technique never reads them); pdf_A_0 [N]; s the
+    sampling technique (number of light vertices); k = s+t-1.
+    """
+    p = [None] * (k + 2)
+    p[s] = jnp.ones_like(pdf_A_0)
+    for i in range(s, k):
+        pr = _safe_div(pdf_f[i - 1] * G[i], pdf_b[i + 1] * G[i + 1])
+        p[i + 1] = p[i] * pr
+    for i in range(s - 1, 0, -1):
+        pr = _safe_div(pdf_b[i + 1] * G[i + 1], pdf_f[i - 1] * G[i])
+        p[i] = p[i + 1] * pr
+    if s >= 1:
+        p[0] = p[1] * _safe_div(pdf_b[1] * G[1], pdf_A_0)
+    p[k + 1] = None          # camera-lens hits cannot be sampled
+    if not light_image and k >= 0:
+        p[k] = None          # t=1 technique disabled
+    zero = jnp.zeros_like(pdf_A_0)
+    for i in range(k + 1):
+        if spec[i] is None:
+            continue
+        if p[i] is not None:
+            p[i] = jnp.where(spec[i], zero, p[i])
+        if p[i + 1] is not None:
+            p[i + 1] = jnp.where(spec[i], zero, p[i + 1])
+    if p[0] is not None:
+        p[0] = jnp.where(singular_l, zero, p[0])
+    # direct-lighting-strategy correction (unconditional in the reference;
+    # for s=1 it rescales p[s] itself and the comparison is relative)
+    if p[1] is not None:
+        corr = jnp.where(singular_l, 1.0, _safe_div(pdf_illum, pdf_emit))
+        p[1] = p[1] * corr
+    return _max_heuristic(p, s)
 
 
 def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
@@ -100,14 +193,22 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     n = rays.o.shape[0]
     base = pixel_sample.astype(jnp.uint32) * np.uint32(7919) + sampling_offs
     n_lights = len(scene.lights)
+    cam = scene.camera
+    ones = jnp.ones(n, jnp.float32)
+
+    # camera vertex (eyePath[0], bidirpath.cc:175-190): pdf_wo = the image
+    # plane importance pdf of the primary direction, cos_wo = 1
+    cam_pdf = _camera_pdf(cam, rays.d)
 
     # ---- eye subpath ----
     eye = _walk(scene, types_present, rays, jnp.ones((n, 3), jnp.float32),
-                jnp.ones(n, bool), opts.eye_depth, base, dim0=2)
+                jnp.ones(n, bool), opts.eye_depth, base, dim0=2,
+                prev_cos_wo=ones)
     primary_valid = eye[0].active
 
     # ---- light subpath ----
     light_verts = []
+    l0 = None
     if n_lights > 0 and opts.light_depth > 0:
         s1 = qmc.scr_halton(20, base)
         s2 = qmc.scr_halton(21, base)
@@ -121,65 +222,100 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
         d = jnp.zeros((n, 3))
         col = jnp.zeros((n, 3))
         ipdf = jnp.zeros((n,))
+        area_pdf = jnp.ones((n,))
+        dir_pdf = jnp.ones((n,))
+        cos_wo0 = jnp.ones((n,))
+        spec0 = jnp.zeros((n,), bool)
+        sing0 = jnp.zeros((n,), bool)
         for li, light in enumerate(scene.lights):
             lo, ld, lc, lip = emit_mod.emit_photon(light, s1, s2, s3, s4,
                                                    center, radius)
+            ap, dp, cw, sing, ddir = light_base.emit_pdf(light, lo, ld,
+                                                         scene_radius=radius)
             m = pick == li
             o = jnp.where(m[..., None], lo, o)
             d = jnp.where(m[..., None], ld, d)
             col = jnp.where(m[..., None], lc, col)
             ipdf = jnp.where(m, lip, ipdf)
+            area_pdf = jnp.where(m, ap, area_pdf)
+            dir_pdf = jnp.where(m, dp, dir_pdf)
+            cos_wo0 = jnp.where(m, cw, cos_wo0)
+            spec0 = jnp.where(m, bool(ddir), spec0)
+            sing0 = jnp.where(m, bool(sing), sing0)
         lpow = col * (ipdf * n_lights)[..., None]
         lrays = Rays(o=o, d=d, tmin=jnp.full(n, MIN_RAYDIST),
                      tmax=jnp.full(n, -1.0))
         light_verts = _walk(scene, types_present, lrays, lpow,
                             jnp.ones(n, bool), opts.light_depth, base,
-                            dim0=25)
+                            dim0=25, prev_cos_wo=cos_wo0)
+        # light origin record (lightPath[0], bidirpath.cc:215-231);
+        # pick pdf is uniform 1/n_lights and the reference's lightNumPdf
+        # is pdf relative to uniform -> factor 1 with uniform picking
+        l0 = dict(p=o, d=d, area_pdf=area_pdf,
+                  pdf_f=_safe_div(dir_pdf, cos_wo0), cos_wo=cos_wo0,
+                  spec=spec0, singular=sing0)
+        if light_verts:
+            lv1 = light_verts[0]
+            pdf_illum_sub = jnp.zeros(n, jnp.float32)
+            for li, light in enumerate(scene.lights):
+                ip = light_base.illum_pdf(light, lv1.sp, o)
+                pdf_illum_sub = jnp.where(pick == li, ip, pdf_illum_sub)
+            l0["pdf_illum"] = pdf_illum_sub
+            l0["pdf_emit"] = area_pdf * lv1.ds / jnp.maximum(cos_wo0, 1e-9)
 
     L = len(light_verts)
-    light_image = opts.do_light_image and L > 0 \
-        and scene.camera is not None
-
-    def n_strategies(k: int) -> float:
-        """Techniques producing a complete length-k path: s=0, s=1,
-        connections with j=1..min(L, k-2) light surface vertices, and (when
-        the light image is on) the t=1 camera splat for 2 <= k <= L+1."""
-        n = 2 + max(0, min(L, k - 2))
-        if light_image and 2 <= k <= L + 1:
-            n += 1
-        return float(n)
+    light_image = opts.do_light_image and L > 0 and cam is not None
 
     col = jnp.zeros((n, 3), jnp.float32)
 
+    def eye_tail(pdf_f, pdf_b, G, spec, s, t, i):
+        """copyEyeSubpath: fill unified-path entries s+1..k from eye
+        vertices i-1..0 plus the camera vertex at k."""
+        for m in range(i):                  # eyePath[t-2-m] = eye[i-1-m]
+            v = eye[i - 1 - m]
+            ip = s + 1 + m
+            pdf_f[ip] = _safe_div(v.pdf_wi, v.cos_wi)
+            pdf_b[ip] = _safe_div(v.pdf_wo, v.cos_wo)
+            G[ip] = eye[i - m].G
+            spec[ip] = v.specular
+        k = s + t - 1
+        pdf_f[k] = ones
+        pdf_b[k] = cam_pdf
+        G[k] = eye[0].G
+        spec[k] = None
+
+    # ================= per-eye-vertex strategies =================
     for i, ev in enumerate(eye):
-        # path length for emission at this vertex: i+1 segments
-        k_emit = i + 1
+        t = i + 2                           # eye vertices incl. camera
+
+        # ---- s=0: the eye path hit an emitter (pathWeight_0t) ----
         emit_c = dispatch.emit(types_present, ev.p)
         has_emit = (ev.p.flags & BSDF.EMIT) != 0
-        w = 1.0 / n_strategies(k_emit)
+        if i == 0:
+            w0 = ones      # directly visible lights are never connected
+        else:
+            w0 = _weight_0t(scene, types_present, eye, i, cam_pdf,
+                            light_image, ones)
         col = col + jnp.where((ev.active & has_emit)[..., None],
-                              ev.throughput * emit_c * w, 0.0)
+                              ev.throughput * emit_c * w0[..., None], 0.0)
 
-        # s=1: NEE at this eye vertex; completes a path of i+2 segments
-        has_diffuse = (ev.p.flags & BSDF.DIFFUSE) != 0
-        nee = common.estimate_one_direct(
-            scene, types_present, ev.p, ev.sp, ev.wo,
-            base + np.uint32(31 * i), pixel_sample, sampling_offs,
-            ev.active & has_diffuse)
-        w = 1.0 / n_strategies(i + 2)
-        col = col + ev.throughput * nee * w
+        # ---- s=1: one light sample at this eye vertex (connectLPath) ----
+        if n_lights > 0:
+            c1 = _connect_light_sample(scene, types_present, eye, i, base,
+                                       cam_pdf, light_image, ones, eye_tail)
+            col = col + c1
 
-        # s>=2: connect to every light surface vertex
+        # ---- s>=2: connect to every light surface vertex ----
         for j, lv in enumerate(light_verts):
-            k = i + 1 + (j + 1) + 1           # total segments
-            w = 1.0 / n_strategies(k)
+            s = j + 2
+            k = s + t - 1
             delta = lv.sp.p - ev.sp.p
             r2 = jnp.sum(delta * delta, axis=-1)
             r = jnp.sqrt(jnp.maximum(r2, 1e-12))
             cdir = delta / r[..., None]
             cos_e = jnp.abs(dot(ev.sp.n, cdir))
             cos_l = jnp.abs(dot(lv.sp.n, -cdir))
-            g = cos_e * cos_l / jnp.maximum(r2, 1e-8)
+            g = _safe_div(cos_e * cos_l, r2)
             f_e = dispatch.eval_bsdf(types_present, ev.p, ev.sp, ev.wo,
                                      cdir, BSDF.ALL)
             f_l = dispatch.eval_bsdf(types_present, lv.p, lv.sp, lv.wo,
@@ -190,19 +326,59 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
             shadowed = scene_mod.any_hit(scene, vray, exclude_prim=ev.sp.prim,
                                          exclude_prim2=lv.sp.prim)
             ok = ev.active & lv.active & (~shadowed) & (r2 > 1e-8)
+
+            # unified path pdfs (connectPaths, bidirpath.cc:468-546)
+            pdf_f = [None] * (k + 1)
+            pdf_b = [None] * (k + 1)
+            G = [None] * (k + 1)
+            spec = [None] * (k + 1)
+            pdf_f[0] = l0["pdf_f"]
+            spec[0] = l0["spec"]
+            for m in range(j):              # inner light verts 1..s-2
+                v = light_verts[m]
+                pdf_f[m + 1] = _safe_div(v.pdf_wo, v.cos_wo)
+                pdf_b[m + 1] = _safe_div(v.pdf_wi, v.cos_wi)
+                G[m + 1] = v.G
+                spec[m + 1] = v.specular
+            # connection endpoints
+            y_pdf_f = dispatch.pdf_bsdf(types_present, lv.p, lv.sp, lv.wo,
+                                        cdir, BSDF.ALL)
+            y_pdf_b = dispatch.pdf_bsdf(types_present, lv.p, lv.sp, cdir,
+                                        lv.wo, BSDF.ALL)
+            pdf_f[s - 1] = _safe_div(y_pdf_f, cos_l)
+            pdf_b[s - 1] = _safe_div(y_pdf_b, lv.cos_wi)
+            G[s - 1] = lv.G
+            spec[s - 1] = None
+            z_pdf_b = dispatch.pdf_bsdf(types_present, ev.p, ev.sp, ev.wo,
+                                        -cdir, BSDF.ALL)
+            z_pdf_f = dispatch.pdf_bsdf(types_present, ev.p, ev.sp, -cdir,
+                                        ev.wo, BSDF.ALL)
+            pdf_b[s] = _safe_div(z_pdf_b, cos_e)
+            pdf_f[s] = _safe_div(z_pdf_f, ev.cos_wi)
+            G[s] = g
+            spec[s] = None
+            eye_tail(pdf_f, pdf_b, G, spec, s, t, i)
+
+            wt = _path_weight(pdf_f, pdf_b, G, spec, l0["area_pdf"], s, k,
+                              light_image, l0["singular"],
+                              l0.get("pdf_illum", ones),
+                              l0.get("pdf_emit", ones))
+            # kill weights where the connection pdfs vanish (reference
+            # returns false from connectPaths)
+            wt = wt * (y_pdf_f > 1e-6) * (z_pdf_b > 1e-6)
+
             contrib = ev.throughput * f_e * g[..., None] * f_l \
-                * lv.throughput * w
+                * lv.throughput * wt[..., None]
             col = col + jnp.where(ok[..., None], contrib, 0.0)
 
     # ---- t=1: connect each light vertex to the camera (light image) ----
     splat = None
     if light_image:
         from core_tpu.cameras import project
-        cam = scene.camera
         sxs, sys, scols, smasks = [], [], [], []
         for j, lv in enumerate(light_verts):
-            k = j + 2                      # light->v0, j internal, v_j->eye
-            w = 1.0 / n_strategies(k)
+            s = j + 2
+            k = s                           # t=1 -> k = s
             delta = cam.pos[None] - lv.sp.p
             r2 = jnp.sum(delta * delta, axis=-1)
             r = jnp.sqrt(jnp.maximum(r2, 1e-12))
@@ -216,15 +392,42 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
                         tmax=r - SHADOW_BIAS)
             shadowed = scene_mod.any_hit(scene, vray,
                                          exclude_prim=lv.sp.prim)
-            # pixel-area-per-solid-angle Jacobian of the image-plane map:
-            # the plane sits at distance `focal` with world area
-            # 1 x aspect_ratio, so d(normalized pixel area)/dw =
-            # focal^2 / (cos^3 * aspect); flush's w*h/n_paths supplies the
-            # per-pixel scale (imagefilm.cc:402)
             cos_e3 = jnp.maximum(cos_e, 1e-6) ** 3
             jac = (cam.focal * cam.focal) / (cos_e3 * cam.aspect_ratio)
+
+            # pathWeight(s, 1) — connectPathE (bidirpath.cc:626-690)
+            pdf_f = [None] * (k + 1)
+            pdf_b = [None] * (k + 1)
+            G = [None] * (k + 1)
+            spec = [None] * (k + 1)
+            pdf_f[0] = l0["pdf_f"]
+            spec[0] = l0["spec"]
+            for m in range(j):
+                v = light_verts[m]
+                pdf_f[m + 1] = _safe_div(v.pdf_wo, v.cos_wo)
+                pdf_b[m + 1] = _safe_div(v.pdf_wi, v.cos_wi)
+                G[m + 1] = v.G
+                spec[m + 1] = v.specular
+            y_pdf_f = dispatch.pdf_bsdf(types_present, lv.p, lv.sp, lv.wo,
+                                        dir_le, BSDF.ALL)
+            y_pdf_b = dispatch.pdf_bsdf(types_present, lv.p, lv.sp, dir_le,
+                                        lv.wo, BSDF.ALL)
+            pdf_f[s - 1] = _safe_div(y_pdf_f, cos_l)
+            pdf_b[s - 1] = _safe_div(y_pdf_b, lv.cos_wi)
+            G[s - 1] = lv.G
+            spec[s - 1] = None
+            pdf_f[k] = ones
+            pdf_b[k] = jac                  # camera importance pdf
+            G[k] = _safe_div(cos_l, r2)
+            spec[k] = None
+            wt = _path_weight(pdf_f, pdf_b, G, spec, l0["area_pdf"], s, k,
+                              True, l0["singular"],
+                              l0.get("pdf_illum", ones),
+                              l0.get("pdf_emit", ones))
+            wt = wt * (y_pdf_f > 1e-6)
+
             contrib = lv.throughput * f_l \
-                * (cos_l / jnp.maximum(r2, 1e-8) * jac * w)[..., None]
+                * (cos_l / jnp.maximum(r2, 1e-8) * jac * wt)[..., None]
             ok = lv.active & okp & (~shadowed)
             sxs.append(px)
             sys.append(py)
@@ -241,3 +444,174 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     alpha = jnp.where(primary_valid, 1.0,
                       0.0 if opts.transp_background else 1.0)
     return jnp.concatenate([col, alpha[..., None]], axis=-1), splat
+
+
+def _camera_pdf(cam, d):
+    """Image-plane importance pdf of a primary direction (the reference
+    feeds cam->project's pdf into eyePath[0].pdf_wo)."""
+    cz = jnp.abs(d @ cam.cam_z)
+    cos3 = jnp.maximum(cz, 1e-6) ** 3
+    return (cam.focal * cam.focal) / (cos3 * cam.aspect_ratio)
+
+
+def _weight_0t(scene, types_present, eye, i, cam_pdf, light_image, ones):
+    """pathWeight_0t (bidirpath.cc:762-830): weight for s=0 at eye vertex
+    i (t = i+2 >= 3).  The emitter hit is path[0]; technique pdfs are
+    rebuilt from its emitPdf + illumPdf per light, masked by sp.light."""
+    n_lights = len(scene.lights)
+    ev = eye[i]
+    prev = eye[i - 1]
+    if n_lights == 0:
+        return 1.0
+    t = i + 2
+    k = t - 1
+    area_pdf = ones
+    dir_pdf = ones
+    cos_wo = ones
+    pdf_illum = jnp.zeros_like(ones)
+    for li, light in enumerate(scene.lights):
+        if light_base.dirac(light):
+            continue                      # dirac lights are never hit
+        ap, dp, cw, _, _ = light_base.emit_pdf(light, ev.sp.p, ev.wo)
+        ip = light_base.illum_pdf(light, prev.sp, ev.sp.p)
+        m = ev.sp.light == li
+        area_pdf = jnp.where(m, ap, area_pdf)
+        dir_pdf = jnp.where(m, dp, dir_pdf)
+        cos_wo = jnp.where(m, cw, cos_wo)
+        pdf_illum = jnp.where(m, ip, pdf_illum)
+    pdf_emit = area_pdf * ev.ds / jnp.maximum(cos_wo, 1e-9)
+
+    pdf_f = [None] * (k + 1)
+    pdf_b = [None] * (k + 1)
+    G = [None] * (k + 1)
+    spec = [None] * (k + 1)
+    pdf_f[0] = _safe_div(dir_pdf, cos_wo)
+    spec[0] = None
+    # path[1] = eyePath[t-2] = eye[i-1] ... path[k] = camera
+    for m in range(i):
+        v = eye[i - 1 - m]
+        ip_ = 1 + m
+        pdf_f[ip_] = _safe_div(v.pdf_wi, v.cos_wi)
+        pdf_b[ip_] = _safe_div(v.pdf_wo, v.cos_wo)
+        G[ip_] = eye[i - m].G
+        spec[ip_] = v.specular
+    pdf_f[k] = ones
+    pdf_b[k] = cam_pdf
+    G[k] = eye[0].G
+    spec[k] = None
+
+    # p recurrence of pathWeight_0t: p[0]=1, p[1] from pdf_A_0
+    p = [None] * (k + 2)
+    p[0] = jnp.ones_like(ones)
+    p[1] = _safe_div(area_pdf, pdf_b[1] * G[1])
+    for i2 in range(1, k):
+        pr = _safe_div(pdf_f[i2 - 1] * G[i2], pdf_b[i2 + 1] * G[i2 + 1])
+        p[i2 + 1] = p[i2] * pr
+    p[k + 1] = None
+    if not light_image:
+        p[k] = None
+    zero = jnp.zeros_like(ones)
+    for i2 in range(k + 1):
+        if spec[i2] is None:
+            continue
+        if p[i2] is not None:
+            p[i2] = jnp.where(spec[i2], zero, p[i2])
+        if p[i2 + 1] is not None:
+            p[i2 + 1] = jnp.where(spec[i2], zero, p[i2 + 1])
+    if p[1] is not None:
+        p[1] = p[1] * _safe_div(pdf_illum, pdf_emit)
+    return _max_heuristic(p, 0)
+
+
+def _connect_light_sample(scene, types_present, eye, i, base, cam_pdf,
+                          light_image, ones, eye_tail):
+    """s=1 strategy (connectLPath, bidirpath.cc:553-625): sample one light
+    at eye vertex i, weight with pathWeight(1, t).  Returns the weighted
+    contribution [N,3] (masked)."""
+    n_lights = len(scene.lights)
+    ev = eye[i]
+    t = i + 2
+    s = 1
+    k = t
+    n = ones.shape[0]
+
+    pick = jnp.minimum((qmc.scr_halton(40 + i, base)
+                        * n_lights).astype(jnp.int32), n_lights - 1)
+    s1 = qmc.scr_halton(44 + 2 * i, base)
+    s2 = qmc.scr_halton(45 + 2 * i, base)
+
+    wi = jnp.zeros((n, 3))
+    lcol = jnp.zeros((n, 3))
+    ldist = jnp.zeros(n)
+    lpdf = jnp.ones(n)
+    lvalid = jnp.zeros(n, bool)
+    area_pdf = ones
+    dir_pdf = ones
+    cos_wo = ones
+    spec0 = jnp.zeros(n, bool)
+    sing0 = jnp.zeros(n, bool)
+    for li, light in enumerate(scene.lights):
+        if light_base.dirac(light):
+            ls = light_base.illuminate(light, ev.sp)
+            sing = True
+        else:
+            ls = light_base.illum_sample(light, ev.sp, s1, s2)
+            sing = False
+        m = pick == li
+        wi = jnp.where(m[..., None], ls.wi, wi)
+        lcol = jnp.where(m[..., None], ls.col, lcol)
+        dist = jnp.where(ls.dist > 0, ls.dist,
+                         2.0 * _scene_diag(scene))
+        ldist = jnp.where(m, dist, ldist)
+        lpdf = jnp.where(m, ls.pdf, lpdf)
+        lvalid = jnp.where(m, ls.valid, lvalid)
+        p_light = ev.sp.p + ls.wi * dist[..., None]
+        ap, dp, cw, sng, ddir = light_base.emit_pdf(light, p_light, -ls.wi)
+        area_pdf = jnp.where(m, ap, area_pdf)
+        dir_pdf = jnp.where(m, dp, dir_pdf)
+        cos_wo = jnp.where(m, cw, cos_wo)
+        spec0 = jnp.where(m, bool(ddir), spec0)
+        sing0 = jnp.where(m, bool(sng or sing), sing0)
+
+    f_z = dispatch.eval_bsdf(types_present, ev.p, ev.sp, ev.wo, wi,
+                             BSDF.ALL)
+    cos_z = jnp.abs(dot(ev.sp.n, wi))
+    vray = Rays(o=ev.sp.p, d=wi, tmin=jnp.full(n, SHADOW_BIAS),
+                tmax=ldist - SHADOW_BIAS)
+    shadowed = scene_mod.any_hit(scene, vray, exclude_prim=ev.sp.prim)
+
+    z_pdf_b = dispatch.pdf_bsdf(types_present, ev.p, ev.sp, ev.wo, wi,
+                                BSDF.ALL)
+    z_pdf_f = dispatch.pdf_bsdf(types_present, ev.p, ev.sp, wi, ev.wo,
+                                BSDF.ALL)
+    r2 = ldist * ldist
+    pdf_illum = lpdf                       # solid-angle illum pdf
+    pdf_emit = area_pdf * r2 / jnp.maximum(cos_wo, 1e-9)
+
+    pdf_f = [None] * (k + 1)
+    pdf_b = [None] * (k + 1)
+    G = [None] * (k + 1)
+    spec = [None] * (k + 1)
+    pdf_f[0] = _safe_div(dir_pdf, cos_wo)
+    spec[0] = spec0
+    G[0] = None
+    pdf_b[1] = _safe_div(z_pdf_b, cos_z)
+    pdf_f[1] = _safe_div(z_pdf_f, ev.cos_wi)
+    G[1] = _safe_div(cos_wo * cos_z, r2)
+    spec[1] = None
+    eye_tail(pdf_f, pdf_b, G, spec, s, t, i)
+
+    wt = _path_weight(pdf_f, pdf_b, G, spec, area_pdf, s, k, light_image,
+                      sing0, pdf_illum, pdf_emit)
+    ok = ev.active & lvalid & (~shadowed) & (lpdf > 1e-6)
+    wt = wt * jnp.where(sing0, 1.0, (z_pdf_b > 1e-6).astype(jnp.float32))
+
+    contrib = ev.throughput * f_z * lcol \
+        * (cos_z / jnp.maximum(lpdf, 1e-12) * float(n_lights)
+           * wt)[..., None]
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def _scene_diag(scene):
+    v = scene.geom.verts
+    return jnp.sqrt(jnp.sum((jnp.max(v, 0) - jnp.min(v, 0)) ** 2))

@@ -135,3 +135,83 @@ def intersect_light(light, rays) -> LightHit:
 
 def illum_pdf(light, sp, sp_light):
     return _mod(light).illum_pdf(light, sp, sp_light)
+
+
+def emit_pdf(light, p_light, d_out, scene_radius=None):
+    """The reference light_t::emitPdf (include/core_api/light.h): pdfs of
+    generating an emission ray at p_light [N,3] in direction d_out [N,3]
+    (pointing AWAY from the light).  Returns
+        (area_pdf [N], dir_pdf [N], cos_wo [N], singular, dirac_dir)
+    area_pdf: area-measure pdf of the position (1.0 for dirac positions);
+    dir_pdf: solid-angle pdf of the direction; cos_wo: |cos| between d_out
+    and the emitting surface normal (1.0 when there is no surface);
+    singular: static bool, dirac position (LIGHT_SINGULAR);
+    dirac_dir: static bool, dirac direction (LIGHT_DIRACDIR).
+    Used by the bidirectional integrator's pdf-ratio path weighting
+    (bidirpath.cc pathWeight / connectLPath emitPdf calls).
+    MeshLight/portal cos uses the true face normal where recoverable from
+    the sampled point; BgLight uses its luminance-CDF direction pdf.
+    """
+    import numpy as np
+    import core_tpu.lights.area as area_m
+    import core_tpu.lights.point as point_m
+    import core_tpu.lights.spot as spot_m
+    import core_tpu.lights.sun as sun_m
+    import core_tpu.lights.sphere as sphere_m
+    import core_tpu.lights.mesh as mesh_m
+    import core_tpu.lights.bg as bg_m
+    import core_tpu.lights.ies as ies_m
+    import core_tpu.lights.portal as portal_m
+    from core_tpu.mathutils import dot
+
+    n = p_light.shape[0]
+    ones = jnp.ones(n, jnp.float32)
+    inv_pi = 1.0 / np.pi
+
+    if isinstance(light, area_m.AreaLight):
+        nrm = jnp.broadcast_to(-light.fnormal, (n, 3))
+        cos = jnp.abs(dot(d_out, nrm))
+        return (jnp.broadcast_to(1.0 / light.area, (n,)),
+                cos * inv_pi, cos, False, False)
+    if isinstance(light, mesh_m.MeshLight):
+        # cosine emission over the mesh; without the sampled face normal
+        # the |cos| is approximated by 1 (documented: affects only the
+        # relative technique weights, not unbiasedness of the estimator)
+        return (jnp.broadcast_to(1.0 / light.area, (n,)),
+                ones * inv_pi, ones, False, False)
+    if isinstance(light, portal_m.BgPortalLight):
+        return (jnp.broadcast_to(1.0 / light.mesh.area, (n,)),
+                ones * inv_pi, ones, False, False)
+    if isinstance(light, sphere_m.SphereLight):
+        nrm = (p_light - light.center[None]) / jnp.maximum(light.radius,
+                                                           1e-9)
+        cos = jnp.abs(dot(d_out, nrm))
+        area = 4.0 * np.pi * light.radius * light.radius
+        return (jnp.broadcast_to(1.0 / area, (n,)), cos * inv_pi, cos,
+                False, False)
+    if isinstance(light, point_m.PointLight):
+        return ones, ones / (4.0 * np.pi), ones, True, False
+    if isinstance(light, ies_m.IesLight):
+        return ones, ones / (4.0 * np.pi), ones, True, False
+    if isinstance(light, spot_m.SpotLight):
+        dir_pdf = ones / jnp.maximum(
+            2.0 * np.pi * (1.0 - light.cos_end), 1e-9)
+        return ones, dir_pdf, ones, True, False
+    if isinstance(light, sun_m.SunLight):
+        r = 1.0 if scene_radius is None else scene_radius
+        area_pdf = ones / (np.pi * r * r)
+        return area_pdf, jnp.broadcast_to(light.pdf, (n,)), ones, \
+            True, False
+    if isinstance(light, sun_m.DirectionalLight):
+        r = 1.0 if scene_radius is None else scene_radius
+        return ones / (np.pi * r * r), ones, ones, True, True
+    if isinstance(light, bg_m.BgLight):
+        r = 1.0 if scene_radius is None else scene_radius
+        from core_tpu.types import Rays
+        lh = bg_m.intersect_light(
+            light, Rays(o=p_light, d=-d_out, tmin=jnp.zeros(n),
+                        tmax=jnp.full(n, -1.0)))
+        dir_pdf = 1.0 / jnp.maximum(lh.ipdf, 1e-9)
+        return ones / (np.pi * r * r), dir_pdf, ones, True, False
+    # unknown plugin light: neutral pdfs (weighting degrades gracefully)
+    return ones, ones, ones, True, False
