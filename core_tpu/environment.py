@@ -278,6 +278,9 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
             raydepth=raydepth,
             no_recursive=ip.get_bool("no_recursive", False),
             caustic_type=ip.get_str("caustic_type", "path"),
+            c_photons=ip.get_int("photons", 500000),
+            caustic_radius=ip.get_float("caustic_radius", 0.25),
+            caustic_depth=ip.get_int("caustic_depth", 10),
             **common_ao)
     elif itype == "photonmapping":
         from core_tpu.integrators.photonmap import PhotonOptions

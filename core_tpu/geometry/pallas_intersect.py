@@ -379,10 +379,11 @@ def closest_hit_pallas_s(geom, rays_s, exclude_prim=None,
     return Hits(t=jnp.where(miss, -1.0, t), prim=prim, u=u, v=v)
 
 
-def any_hit_pallas_s(geom, rays_s, exclude_prim=None, exclude_prim2=None):
+def any_hit_pallas_s(geom, rays_s, exclude_prim=None, exclude_prim2=None,
+                     interpret=False):
     tri, n_tris = _pack_tris(geom.verts, geom.tri_vidx)
     comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
-    (hit,) = _run_any(tri, comps, n_tris)
+    (hit,) = _run_any(tri, comps, n_tris, interpret=interpret)
     return hit.reshape(-1)[:n] > 0
 
 

@@ -44,6 +44,12 @@ class PathOptions:
     raydepth: int = 5             # specular recursion depth
     no_recursive: bool = False
     caustic_type: str = "path"    # none|path|photon|both
+    # photon-caustic mode (pathtracer.cc:374-383 factory block): a caustic
+    # photon map is built at preprocess and mixed in at primary diffuse
+    # vertices (pathtracer.cc:171 estimateCausticPhotons)
+    c_photons: int = 500000       # reference "photons"
+    caustic_radius: float = 0.25  # reference "caustic_radius"
+    caustic_depth: int = 10       # reference "caustic_depth"
     transp_background: bool = False
     use_ao: bool = False
     ao_samples: int = 32
@@ -58,9 +64,15 @@ def _eval_background_s(background, d3):
 
 
 def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
-                   pixel_sample, sampling_offs, opts: PathOptions):
+                   pixel_sample, sampling_offs, opts: PathOptions,
+                   stats=None):
     """All indirect paths as one (n_paths*N)-lane wavefront; returns V3 [N]
-    (already averaged over n_paths)."""
+    (already averaged over n_paths).
+
+    stats: optional dict accumulating {"traced": n, "useful": n} lane-ray
+    counts (closest-hit + NEE shadow lanes; useful = lanes whose path was
+    still alive when the kernel launched) — the honest utilisation figure
+    behind bench.py's useful-Mrays metric."""
     trace_caustics = opts.caustic_type in ("path", "both")
     base = (np.uint32(n_paths) * pixel_sample.astype(jnp.uint32)
             + sampling_offs)
@@ -108,6 +120,9 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
         rays = RaysS(o=sp.p, d=sres.wi,
                      tmin=jnp.full_like(s1, MIN_RAYDIST),
                      tmax=jnp.full_like(s1, -1.0))
+        if stats is not None:
+            stats["traced"] += offs.shape[0]
+            stats["useful"] += jnp.sum(active.astype(jnp.float32))
         hits = scene_mod.closest_hit_s(scene, rays, exclude_prim=sp.prim)
         if depth > 0 and scene.background is not None:
             miss = active & (~hits.valid)
@@ -121,6 +136,13 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
         wo = -sres.wi
         has_diffuse = (p.flags & BSDF.DIFFUSE) != 0
         nee_active = active & has_diffuse if depth > 0 else active
+        if stats is not None:
+            nee_lanes = 2 * sum(max(1, common.light_base.n_samples(li))
+                                if not common.light_base.dirac(li) else 1
+                                for li in scene.lights)
+            stats["traced"] += nee_lanes * offs.shape[0]
+            stats["useful"] += nee_lanes * jnp.sum(
+                nee_active.astype(jnp.float32))
         lcol = common.estimate_one_direct_s(scene, types_present, p, sp, wo,
                                             offs, pixel_sample_b,
                                             sampling_offs_b, nee_active)
@@ -144,9 +166,17 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
 
 
 def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
-              opts: PathOptions):
-    """Full path-tracer integrate() for a camera wavefront -> rgba [N,4]."""
+              opts: PathOptions, aux=None, stats=None):
+    """Full path-tracer integrate() for a camera wavefront -> rgba [N,4].
+    aux: photon-caustic map from preprocess (caustic_type photon/both);
+    stats: optional dict accumulating traced/useful lane-ray counts."""
     rs = vec.rays_to_soa(rays)
+    n = rays.o.shape[0]
+    if stats is not None:
+        stats.setdefault("traced", 0.0)
+        stats.setdefault("useful", 0.0)
+        stats["traced"] += n
+        stats["useful"] += float(n)          # primary rays are all useful
     hits = scene_mod.closest_hit_s(scene, rs)
     primary_valid = hits.valid
 
@@ -157,16 +187,33 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     emit_c = dispatch.emit_ss(types_present, p)
     col = where3(primary_valid, emit_c, 0.0)
     has_diffuse = (p.flags & BSDF.DIFFUSE) != 0
+    nee0 = primary_valid & has_diffuse
+    if stats is not None:
+        nee_lanes = 2 * sum(max(1, common.light_base.n_samples(li))
+                            if not common.light_base.dirac(li) else 1
+                            for li in scene.lights)
+        stats["traced"] += nee_lanes * n
+        stats["useful"] += nee_lanes * jnp.sum(nee0.astype(jnp.float32))
     col = col + common.estimate_all_direct_s(scene, types_present, p, sp, wo,
                                              pixel_sample, sampling_offs,
-                                             primary_valid & has_diffuse)
+                                             nee0)
+
+    # photon-mapped caustics at the primary vertex (pathtracer.cc:171)
+    if aux is not None and "caustic" in aux \
+            and opts.caustic_type in ("photon", "both"):
+        from core_tpu.integrators.photonmap import _caustic_radiance
+        sp_a = vec.sp_to_aos(sp)
+        p_a = dispatch._params_to_aos(p)
+        cc = _caustic_radiance(aux["caustic"], p_a, sp_a, vec.aos(wo),
+                               types_present, opts.caustic_radius)
+        col = col + where3(nee0, vec.v3(cc), 0.0)
 
     # indirect paths, batched
     n_paths = max(1, opts.path_samples)
     col = col + _paths_batched(scene, types_present, sp, p, wo,
-                               primary_valid & has_diffuse, n_paths,
+                               nee0, n_paths,
                                pixel_sample.astype(jnp.uint32),
-                               sampling_offs, opts)
+                               sampling_offs, opts, stats=stats)
 
     # background on primary miss
     bg = _eval_background_s(scene.background, rs.d)

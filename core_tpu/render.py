@@ -107,6 +107,16 @@ def integrator_preprocess(scene, types_present, opts: RenderOptions):
     if opts.integrator == "photonmapping":
         from core_tpu.integrators import photonmap as pm_mod
         return pm_mod.preprocess(scene, types_present, opts.integrator_opts)
+    if opts.integrator == "pathtracing" \
+            and opts.integrator_opts.caustic_type in ("photon", "both"):
+        # caustic photon map for the path tracer (pathtracer.cc:90-93)
+        from core_tpu.integrators import photonmap as pm_mod
+        io = opts.integrator_opts
+        popts = pm_mod.PhotonOptions(
+            photons=1, c_photons=io.c_photons, bounces=io.caustic_depth,
+            caustic_radius=io.caustic_radius,
+            use_diffuse=False, use_caustics=True)
+        return pm_mod.preprocess(scene, types_present, popts) or None
     if opts.integrator == "directlight" \
             and getattr(opts.integrator_opts, "use_sss", False):
         from core_tpu.integrators import sss as sss_mod

@@ -201,3 +201,31 @@ def test_photonmap_specular_chains():
     assert np.isfinite(img3).all()
     # with chains the mirror block reflects lit walls -> image gains energy
     assert img3.mean() > img0.mean() * 1.02, (img3.mean(), img0.mean())
+
+
+def test_path_tracer_photon_caustics():
+    """caustic_type=photon mixes a caustic photon map into the path
+    tracer at primary diffuse vertices (pathtracer.cc:90-93,171) —
+    producing caustic energy at bounces=1 where path-sampled caustics
+    cannot reach (round-2 verdict item 6)."""
+    from core_tpu.integrators.path import PathOptions
+    scene = cornell_box(resx=16, resy=16, light_samples=2,
+                        block_materials=("glass", "white"))
+
+    def render(ctype):
+        opts = RenderOptions(
+            integrator="pathtracing",
+            integrator_opts=PathOptions(
+                path_samples=2, bounces=1, raydepth=2, caustic_type=ctype,
+                c_photons=20000, caustic_radius=30.0, caustic_depth=4),
+            aa_samples=2, spp_chunk=2)
+        img, _ = render_image(scene, opts)
+        return np.asarray(img)[..., :3]
+
+    img_none = render("none")
+    img_photon = render("photon")
+    assert np.isfinite(img_photon).all()
+    # the caustic map adds energy on the floor around the glass block
+    floor = (slice(12, 16), slice(2, 9))
+    gain = img_photon[floor].mean() - img_none[floor].mean()
+    assert gain > 1e-3, (img_photon[floor].mean(), img_none[floor].mean())
