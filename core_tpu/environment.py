@@ -338,14 +338,18 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
     vtype = (vp or ParamMap()).get_str("type", "none")
     vmap = {"EmissionIntegrator": "emission",
             "SingleScatterIntegrator": "singlescatter",
-            # SkyIntegrator = single-scatter march over a SkyVolume region
-            # (Rayleigh/Mie phase handled by the region, SkyIntegrator.cc)
-            "SkyIntegrator": "singlescatter",
+            # real background-driven Rayleigh+Mie marcher
+            # (SkyIntegrator.cc:55-272)
+            "SkyIntegrator": "sky",
             "none": "none"}
-    step_size = max(1e-4, (vp or ParamMap()).get_float("stepSize", 1.0))
+    vpm = vp or ParamMap()
+    step_size = max(1e-4, vpm.get_float("stepSize", 1.0))
     vopts = VolumeOptions(integrator=vmap.get(vtype, "none"),
                           step_size=step_size,
-                          steps=volume_march_steps(step_size, volume_span))
+                          steps=volume_march_steps(step_size, volume_span),
+                          sky_alpha=vpm.get_float("alpha", 0.5),
+                          sky_scale=vpm.get_float("sigma_t", 0.1),
+                          sky_turbidity=vpm.get_float("turbidity", 3.0))
 
     filt = {"box": FilterType.BOX, "mitchell": FilterType.MITCHELL,
             "gauss": FilterType.GAUSS, "lanczos": FilterType.LANCZOS}.get(
@@ -975,6 +979,12 @@ def _vol_grid(b: SceneBuilder, name, p: ParamMap, extra):
     from core_tpu.volumes import make_grid_volume
     import numpy as np_
     g = p.get("grid")
+    density_file = p.get_str("density_file", "")
+    if g is None and density_file:
+        # reference GridVolume.cc:40-125 reads POV-Ray df3 voxel grids;
+        # .npy accepted as the native-array convenience format
+        from core_tpu.volumes.regions import load_density_grid
+        g = load_density_grid(density_file)
     if g is None:
         g = np_.ones((2, 2, 2), np_.float32)
     v = make_grid_volume(

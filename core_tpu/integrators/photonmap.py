@@ -35,6 +35,10 @@ class PhotonOptions:
     bounces: int = 5               # photon bounce depth
     final_gather: bool = True
     fg_samples: int = 16
+    # radiance-map cache (photonintegr.cc:42-107,574): irradiance is
+    # pre-gathered at photon deposits during preprocess so each final-
+    # gather ray pays one cell lookup instead of a density estimate
+    fg_cache: bool = True
     raydepth: int = 5
     use_diffuse: bool = True
     use_caustics: bool = True
@@ -65,13 +69,23 @@ def preprocess(scene, types_present, opts: PhotonOptions):
 
     aux = {}
 
+    with_cache = opts.final_gather and opts.fg_cache
+
     @jax.jit
     def build_diffuse(scene):
-        pos, pw, dr, ok = pmap_mod.shoot_photons(
+        out = pmap_mod.shoot_photons(
             scene, types_present, opts.photons, opts.bounces, seed=1,
-            caustic_only=False, scene_center=center, scene_radius=radius)
-        return pmap_mod.build_photon_grid(pos, pw, dr, ok,
+            caustic_only=False, scene_center=center, scene_radius=radius,
+            with_surface=with_cache)
+        pos, pw, dr, ok = out[:4]
+        grid = pmap_mod.build_photon_grid(pos, pw, dr, ok,
                                           opts.diffuse_radius, bmin, bmax)
+        if with_cache:
+            nrm, alb = out[4], out[5]
+            cache = pmap_mod.build_radiance_cache(grid, nrm, alb,
+                                                  opts.diffuse_radius)
+            return grid, cache
+        return grid, None
 
     @jax.jit
     def build_caustic(scene):
@@ -82,7 +96,10 @@ def preprocess(scene, types_present, opts: PhotonOptions):
                                           opts.caustic_radius, bmin, bmax)
 
     if opts.use_diffuse:
-        aux["diffuse"] = build_diffuse(scene)
+        grid, cache = build_diffuse(scene)
+        aux["diffuse"] = grid
+        if cache is not None:
+            aux["fg_cache"] = cache
     if opts.use_caustics and scene.has_specular:
         aux["caustic"] = build_caustic(scene)
     return aux
@@ -97,9 +114,11 @@ def _caustic_radiance(pmap, p, sp, wo, types_present, radius):
 
 
 def _final_gather(scene, types_present, dmap, p, sp, wo, pixel_sample,
-                  sampling_offs, active, opts: PhotonOptions):
+                  sampling_offs, active, opts: PhotonOptions, cache=None):
     """Cosine-sampled one-bounce gather rays -> diffuse-map radiance at the
-    secondary hit (photonintegr.cc finalGathering :647)."""
+    secondary hit (photonintegr.cc finalGathering :647).  With a radiance
+    cache the per-hit density estimate + BRDF eval collapses to one cell
+    lookup (photonintegr.cc radiance-map precompute :42-107,574)."""
     n = max(1, opts.fg_samples)
     offs = (np.uint32(n) * pixel_sample.astype(jnp.uint32) + sampling_offs)
     acc = jnp.zeros_like(wo)
@@ -114,13 +133,16 @@ def _final_gather(scene, types_present, dmap, p, sp, wo, pixel_sample,
                     tmax=jnp.full_like(s1, -1.0))
         hits = scene_mod.closest_hit(scene, rays, exclude_prim=sp.prim)
         gsp = scene_mod.surface_points(scene, rays, hits)
-        gp = scene_mod.material_params(scene, gsp)
-        irr = pmap_mod.estimate_irradiance(dmap, gsp.p, gsp.n,
-                                           opts.diffuse_radius)
-        # radiance leaving the gather hit toward us: albedo/pi * irradiance
-        alb = dispatch.eval_bsdf(types_present, gp, gsp, -sres.wi, gsp.n,
-                                 BSDF.ALL)
-        li = alb * irr / np.pi
+        if cache is not None:
+            li = pmap_mod.lookup_radiance(cache, gsp.p)
+        else:
+            gp = scene_mod.material_params(scene, gsp)
+            irr = pmap_mod.estimate_irradiance(dmap, gsp.p, gsp.n,
+                                               opts.diffuse_radius)
+            # radiance leaving the gather hit: albedo/pi * irradiance
+            alb = dispatch.eval_bsdf(types_present, gp, gsp, -sres.wi,
+                                     gsp.n, BSDF.ALL)
+            li = alb * irr / np.pi
         ok = active & hits.valid & (sres.pdf > 1e-6)
         acc = acc + jnp.where(ok[..., None],
                               sres.col * li * sres.w[..., None], 0.0)
@@ -153,7 +175,8 @@ def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
         if opts.final_gather:
             ind = _final_gather(scene, types_present, aux["diffuse"], p, sp,
                                 wo, pixel_sample, sampling_offs,
-                                active & has_diffuse, opts)
+                                active & has_diffuse, opts,
+                                cache=aux.get("fg_cache"))
         else:
             irr = pmap_mod.estimate_irradiance(aux["diffuse"], sp.p, sp.n,
                                                opts.diffuse_radius)

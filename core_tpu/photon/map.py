@@ -44,9 +44,12 @@ class PhotonMap(NamedTuple):
 
 def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
                   seed: int, caustic_only: bool,
-                  scene_center, scene_radius):
+                  scene_center, scene_radius, with_surface: bool = False):
     """Trace a photon wavefront; returns per-deposit arrays
     (pos, power, dirn, valid) of shape [(max_bounces+1) * n_photons, ...].
+    with_surface=True appends (normal, albedo) per deposit — the surface
+    data the radiance-map precompute needs (photonintegr.cc:574
+    radiancePhoton gathering evaluates the deposit surface's BRDF).
 
     Light choice: uniform over scene lights with 1/k pdf compensation (the
     reference picks by a power CDF, photonintegr.cc:160; uniform keeps the
@@ -85,6 +88,7 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
     had_specular = jnp.zeros(n_photons, bool)
 
     dep_pos, dep_pow, dep_dir, dep_ok = [], [], [], []
+    dep_nrm, dep_alb = [], []
     rays = Rays(o=o, d=d, tmin=jnp.full(n_photons, MIN_RAYDIST),
                 tmax=jnp.full(n_photons, -1.0))
     exclude = None
@@ -101,6 +105,13 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
         dep_pow.append(power)
         dep_dir.append(rays.d)
         dep_ok.append(deposit)
+        if with_surface:
+            dep_nrm.append(sp.n)
+            # this framework's eval() convention omits the Lambert 1/pi
+            # (shinydiffuse.py docstring), so eval(n, n) IS the albedo —
+            # same factor the direct final-gather path applies
+            dep_alb.append(dispatch.eval_bsdf(
+                types_present, p, sp, sp.n, sp.n, BSDF.ALL))
 
         if bounce == max_bounces:
             break
@@ -125,8 +136,11 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
                     tmax=jnp.full(n_photons, -1.0))
         exclude = sp.prim
 
-    return (jnp.concatenate(dep_pos), jnp.concatenate(dep_pow),
-            jnp.concatenate(dep_dir), jnp.concatenate(dep_ok))
+    out = (jnp.concatenate(dep_pos), jnp.concatenate(dep_pow),
+           jnp.concatenate(dep_dir), jnp.concatenate(dep_ok))
+    if with_surface:
+        out = out + (jnp.concatenate(dep_nrm), jnp.concatenate(dep_alb))
+    return out
 
 
 def build_photon_grid(pos, power, dirn, valid, radius: float,
@@ -219,3 +233,53 @@ def estimate_irradiance(pmap: PhotonMap, q, qn, radius: float):
     mcintegrator.cc:384; the kernel already normalizes by pi r^2)."""
     flux, _ = gather_photons(pmap, q, qn, radius)
     return flux
+
+
+class RadianceCache(NamedTuple):
+    """Per-cell precomputed outgoing radiance — the TPU analog of the
+    reference's radiance map (photonintegr.cc:42-107,574: irradiance
+    pre-gathered at photon positions by worker threads, looked up by
+    nearest radiance photon during final gathering).  Gridded: one value
+    per photon-grid cell means a final-gather ray pays ONE table gather
+    instead of a full 27-cell density estimate."""
+    cell_rad: jnp.ndarray   # [C,3] mean albedo/pi * irradiance per cell
+    bmin: jnp.ndarray       # [3]
+    inv_cell: jnp.ndarray   # []
+    dims: tuple             # static (nx, ny, nz)
+
+
+def build_radiance_cache(pmap: PhotonMap, normal, albedo,
+                         radius: float) -> RadianceCache:
+    """Precompute per-cell outgoing radiance from a built photon grid.
+
+    normal/albedo: per-photon surface data from shoot_photons
+    (with_surface=True).  Radiance of a deposit = albedo/pi * E(pos, n);
+    cells average their deposits' radiance (empty cells -> 0).
+    """
+    irr = estimate_irradiance(pmap, pmap.pos, normal, radius)
+    rad = albedo * irr / np.pi
+    nx, ny, nz = pmap.dims
+    rel = (pmap.pos - pmap.bmin[None]) * pmap.inv_cell
+    ix = jnp.clip(rel[..., 0].astype(jnp.int32), 0, nx - 1)
+    iy = jnp.clip(rel[..., 1].astype(jnp.int32), 0, ny - 1)
+    iz = jnp.clip(rel[..., 2].astype(jnp.int32), 0, nz - 1)
+    cid = (ix * ny + iy) * nz + iz
+    n_cells = nx * ny * nz
+    w = pmap.valid.astype(jnp.float32)
+    sums = jnp.zeros((n_cells, 3), jnp.float32).at[cid].add(
+        rad * w[..., None])
+    counts = jnp.zeros((n_cells,), jnp.float32).at[cid].add(w)
+    cell_rad = sums / jnp.maximum(counts, 1.0)[..., None]
+    return RadianceCache(cell_rad=cell_rad, bmin=pmap.bmin,
+                         inv_cell=pmap.inv_cell, dims=pmap.dims)
+
+
+def lookup_radiance(cache: RadianceCache, q):
+    """One-gather cell lookup of precomputed outgoing radiance [N,3]."""
+    nx, ny, nz = cache.dims
+    rel = (q - cache.bmin[None]) * cache.inv_cell
+    ix = jnp.clip(rel[..., 0].astype(jnp.int32), 0, nx - 1)
+    iy = jnp.clip(rel[..., 1].astype(jnp.int32), 0, ny - 1)
+    iz = jnp.clip(rel[..., 2].astype(jnp.int32), 0, nz - 1)
+    cid = (ix * ny + iy) * nz + iz
+    return cache.cell_rad[cid]

@@ -196,7 +196,20 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
                      pixel_sample.astype(jnp.int32), sampling_offs,
                      opts.integrator_opts)
 
-    if scene.volumes:
+    vopts = opts.volume_opts
+    if vopts.integrator == "sky":
+        # background-driven atmosphere, needs no volume regions
+        # (SkyIntegrator.cc:55-272)
+        from core_tpu import scene as scene_mod
+        from core_tpu.integrators import volume as vol_mod
+        vhits = scene_mod.closest_hit(scene, rays)
+        capped = rays._replace(tmax=jnp.where(vhits.valid, vhits.t,
+                                              rays.tmax))
+        tr = vol_mod.sky_transmittance(capped, vopts)
+        inscatter = vol_mod.sky_integrate(scene, rays, vhits.t, vopts)
+        rgba = jnp.concatenate(
+            [rgba[..., :3] * tr + inscatter, rgba[..., 3:]], axis=-1)
+    elif scene.volumes:
         # volume transmittance * surface + in-scatter (reference
         # tiledIntegrator renderTile applies the volume integrator the same
         # way, integrator.cc:308-312)

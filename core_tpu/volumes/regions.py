@@ -154,6 +154,38 @@ def make_grid_volume(grid, sigma_a=0.1, sigma_s=0.1, l_e=0.0, g=0.0,
                grid=np.asarray(grid, np.float32))
 
 
+def load_density_grid(path: str) -> np.ndarray:
+    """Load a voxel density grid [X,Y,Z] in [0,1].
+
+    POV-Ray df3 (the reference GridVolume.cc:40-125 format): three
+    big-endian uint16 dimensions, then X-fastest voxel bytes; 1/2/4-byte
+    unsigned voxels are normalized to [0,1] (the reference always reads
+    one byte — multi-byte support is a superset).  '.npy' arrays load
+    verbatim as the native convenience format.
+    """
+    if path.endswith(".npy"):
+        return np.asarray(np.load(path), np.float32)
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) < 6:
+        raise ValueError(f"df3 file too short: {path}")
+    dims = [(raw[2 * i] << 8) | raw[2 * i + 1] for i in range(3)]
+    nx, ny, nz = dims
+    n_vox = nx * ny * nz
+    body = raw[6:]
+    if n_vox <= 0 or len(body) % n_vox != 0:
+        raise ValueError(f"df3 {path}: {len(body)} bytes for {dims} voxels")
+    bpv = len(body) // n_vox
+    if bpv not in (1, 2, 4):
+        raise ValueError(f"df3 {path}: unsupported {bpv} bytes/voxel")
+    dt = {1: ">u1", 2: ">u2", 4: ">u4"}[bpv]
+    vals = np.frombuffer(body, dtype=dt).astype(np.float64)
+    vals /= float(2 ** (8 * bpv) - 1)
+    # file order: z-major, y, then x fastest -> reshape [Z,Y,X], transpose
+    return np.ascontiguousarray(
+        vals.reshape(nz, ny, nx).transpose(2, 1, 0).astype(np.float32))
+
+
 def _inside(vol, p):
     return jnp.all((p >= vol.bmin[None]) & (p <= vol.bmax[None]), axis=-1)
 

@@ -229,3 +229,31 @@ def test_path_tracer_photon_caustics():
     floor = (slice(12, 16), slice(2, 9))
     gain = img_photon[floor].mean() - img_none[floor].mean()
     assert gain > 1e-3, (img_photon[floor].mean(), img_none[floor].mean())
+
+
+def test_radiance_cache_matches_direct_final_gather():
+    """The per-cell radiance cache (reference radiance map,
+    photonintegr.cc:574) must approximate the direct per-gather-ray
+    density estimate: same image up to cell quantization."""
+    scene = cornell_box(resx=16, resy=16, light_samples=2,
+                        with_blocks=False)
+
+    def render(cache):
+        popts = PhotonOptions(photons=30000, c_photons=1, bounces=3,
+                              diffuse_radius=40.0, final_gather=True,
+                              fg_samples=8, fg_cache=cache,
+                              use_caustics=False, raydepth=0)
+        opts = RenderOptions(integrator="photonmapping",
+                             integrator_opts=popts, aa_samples=2,
+                             spp_chunk=2)
+        img, _ = render_image(scene, opts)
+        return np.asarray(img)[..., :3]
+
+    img_direct = render(False)
+    img_cached = render(True)
+    assert np.isfinite(img_cached).all()
+    m_d, m_c = img_direct.mean(), img_cached.mean()
+    assert abs(m_c - m_d) / m_d < 0.25, (m_c, m_d)
+    # pixelwise: indirect is a smooth field; cell quantization stays small
+    rel = np.abs(img_cached - img_direct) / np.maximum(img_direct, 0.05)
+    assert np.median(rel) < 0.3, np.median(rel)

@@ -181,3 +181,108 @@ def test_step_size_plumbed_to_march_steps():
     assert volume_march_steps(100.0, 10.0) == 4      # clamped low
     assert volume_march_steps(0.001, 1000.0) == 128  # clamped high
     assert volume_march_steps(1.0, None) == 16       # no volumes: default
+
+
+def test_df3_density_file_loading(tmp_path):
+    """POV-Ray df3 voxel grids load with correct dims, order and scaling
+    (reference GridVolume.cc:40-125; round-2 verdict weak #6: the XML
+    GridVolume path was a ones() stub)."""
+    import struct
+    from core_tpu.volumes.regions import load_density_grid
+    nx, ny, nz = 3, 2, 4
+    vox = np.arange(nx * ny * nz, dtype=np.uint8)  # z-major, x fastest
+    path = tmp_path / "smoke.df3"
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HHH", nx, ny, nz))
+        f.write(vox.tobytes())
+    g = load_density_grid(str(path))
+    assert g.shape == (nx, ny, nz)
+    # file index (x, y, z) = x + nx*(y + ny*z)
+    assert g[1, 0, 0] == np.float32(1 / 255)
+    assert g[0, 1, 0] == np.float32(nx / 255)
+    assert g[0, 0, 1] == np.float32(nx * ny / 255)
+    # 16-bit voxels
+    vox16 = (np.arange(nx * ny * nz, dtype=np.uint16) * 1000)
+    path2 = tmp_path / "smoke16.df3"
+    with open(path2, "wb") as f:
+        f.write(struct.pack(">HHH", nx, ny, nz))
+        f.write(vox16.astype(">u2").tobytes())
+    g2 = load_density_grid(str(path2))
+    np.testing.assert_allclose(g2[1, 0, 0], 1000 / 65535, rtol=1e-5)
+    # XML wiring: density_file reaches the region
+    from core_tpu.environment import SceneBuilder
+    from core_tpu.params import ParamMap
+    b = SceneBuilder()
+    b.create("volumeregion", "smoke", ParamMap({
+        "type": "GridVolume",
+        "density_file": str(path), "sigma_a": 0.3, "sigma_s": 0.1,
+        "minX": 0.0, "minY": 0.0, "minZ": 0.0,
+        "maxX": 1.0, "maxY": 1.0, "maxZ": 1.0}))
+    assert len(b.volumes) == 1
+    assert b.volumes[0].grid.shape == (nx, ny, nz)
+
+
+def test_sky_integrator_marcher():
+    """The real SkyIntegrator (SkyIntegrator.cc:55-272): analytic
+    exponential-atmosphere tau matches a numeric march, the Mie forward
+    lobe makes near-sun rays collect more in-scatter, and transmittance
+    falls with distance."""
+    from core_tpu.integrators.volume import (sky_constants, _sky_tau,
+                                             sky_transmittance,
+                                             sky_integrate, VolumeOptions)
+    from core_tpu.types import Rays
+
+    b_r, b_m, a_r, a_m = sky_constants(alpha=0.5, turbidity=3.0)
+    assert b_r > 0 and b_m > 0
+
+    # analytic tau == numeric midpoint integral of beta*exp(-a*(h0+t*cos))
+    h0, cos_t, s = 0.3, 0.6, 5.0
+    num = sum(b_r * np.exp(-a_r * (h0 + (i + 0.5) * s / 4096 * cos_t))
+              * s / 4096 for i in range(4096))
+    ana = float(_sky_tau(b_r, a_r, jnp.asarray([h0]), jnp.asarray([cos_t]),
+                         jnp.asarray([s]))[0])
+    np.testing.assert_allclose(ana, num, rtol=1e-3)
+
+    # scene: sunsky background, ground plane far below
+    from tests.test_shadow_sentinel import _sun_slab_scene
+    from core_tpu.backgrounds import make_sunsky_background
+    sundir = np.array([0.3, 0.9, 0.1])
+    sundir = sundir / np.linalg.norm(sundir)
+    bg = make_sunsky_background(tuple(sundir), turbidity=3.0)
+    scene = dataclasses.replace(_sun_slab_scene(), background=bg)
+    opts = VolumeOptions(integrator="sky", steps=16, sky_alpha=0.5,
+                        sky_scale=0.02, sky_turbidity=3.0)
+
+    # z-up in the sky model; look along two horizontal-ish directions of
+    # equal length, one near the sun azimuth, one opposite
+    o = jnp.zeros((2, 3), jnp.float32)
+    d_near = sundir.astype(np.float32)
+    d_far = np.array([-sundir[0], -sundir[1], sundir[2]], np.float32)
+    d_far /= np.linalg.norm(d_far)
+    rays = Rays(o=o, d=jnp.asarray([d_near, d_far]),
+                tmin=jnp.zeros(2), tmax=jnp.full(2, 50.0))
+    tr = np.asarray(sky_transmittance(rays, opts))
+    assert (tr > 0).all() and (tr < 1.0).all()
+    ins = np.asarray(sky_integrate(scene, rays, jnp.full(2, 50.0), opts))
+    assert np.isfinite(ins).all() and (ins >= 0).all()
+    # forward Mie lobe: the ray toward the sun's azimuth in-scatters more
+    assert ins[0].mean() > ins[1].mean(), ins.mean(axis=-1)
+
+    # transmittance decreases with path length
+    rays2 = Rays(o=o, d=jnp.asarray([d_near, d_near]),
+                 tmin=jnp.zeros(2), tmax=jnp.asarray([20.0, 200.0]))
+    tr2 = np.asarray(sky_transmittance(rays2, opts))
+    assert tr2[1].mean() < tr2[0].mean()
+
+
+def test_sky_integrator_frontend_mapping():
+    from core_tpu.params import ParamMap
+    from core_tpu.environment import setup_render_options
+    o = setup_render_options(ParamMap({}), ParamMap({
+        "type": "directlighting"}), ParamMap({
+            "type": "SkyIntegrator", "alpha": 0.7, "sigma_t": 0.05,
+            "turbidity": 4.0, "stepSize": 2.0}))
+    assert o.volume_opts.integrator == "sky"
+    assert o.volume_opts.sky_alpha == np.float32(0.7) or \
+        abs(o.volume_opts.sky_alpha - 0.7) < 1e-6
+    assert abs(o.volume_opts.sky_turbidity - 4.0) < 1e-6
