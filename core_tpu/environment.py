@@ -315,7 +315,8 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
     elif itype == "DebugIntegrator":
         from core_tpu.integrators.debug import DebugOptions
         integrator = "debug"
-        dbg = {1: "N", 2: "dPdU", 3: "dPdV", 4: "NU", 5: "NV"}
+        dbg = {1: "N", 2: "dPdU", 3: "dPdV", 4: "NU", 5: "NV",
+               6: "dSdU", 7: "dSdV"}
         iopts = DebugOptions(
             debug_type=dbg.get(ip.get_int("debugType", 1), "N"),
             show_pn=ip.get_bool("showPN", False))
@@ -349,7 +350,10 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
                           steps=volume_march_steps(step_size, volume_span),
                           sky_alpha=vpm.get_float("alpha", 0.5),
                           sky_scale=vpm.get_float("sigma_t", 0.1),
-                          sky_turbidity=vpm.get_float("turbidity", 3.0))
+                          sky_turbidity=vpm.get_float("turbidity", 3.0),
+                          optimize=vpm.get_bool("optimize", False),
+                          att_grid_res=max(
+                              4, 8 * vpm.get_int("attgridScale", 2)))
 
     filt = {"box": FilterType.BOX, "mitchell": FilterType.MITCHELL,
             "gauss": FilterType.GAUSS, "lanczos": FilterType.LANCZOS}.get(

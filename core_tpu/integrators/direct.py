@@ -46,10 +46,16 @@ class DirectOptions:
 
 
 def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
-               include_lights, opts: DirectOptions, aux=None):
-    """Emission + direct lighting at given hits; returns (col, sp, p)."""
+               include_lights, opts: DirectOptions, aux=None, diff=None):
+    """Emission + direct lighting at given hits; returns (col, sp, p).
+    diff: optional (dxd, dyd) primary-ray differential directions -> mip
+    LOD for image textures (spDifferentials_t, surface.h:105-118)."""
     sp = scene_mod.surface_points(scene, rays, hits)
-    p = scene_mod.material_params(scene, sp)
+    lod = None
+    if diff is not None:
+        from core_tpu.differentials import texture_lod
+        lod = texture_lod(scene, sp, rays, diff[0], diff[1])
+    p = scene_mod.material_params(scene, sp, lod=lod)
     wo = -rays.d
     active = hits.valid
 
@@ -93,16 +99,18 @@ def _ambient_occlusion(scene, types_present, p, sp, wo, pixel_sample,
 
 
 def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
-              opts: DirectOptions, aux=None):
+              opts: DirectOptions, aux=None, diff=None):
     """Full directlight integrate() for a camera-ray wavefront.
-    Returns rgba [N,4].  aux: SSS photon map when opts.use_sss."""
+    Returns rgba [N,4].  aux: SSS photon map when opts.use_sss;
+    diff: primary-ray differential directions (texture LOD)."""
     from core_tpu.integrators import raytrace
     n = rays.o.shape[0]
     hits = scene_mod.closest_hit(scene, rays)
     primary_valid = hits.valid
 
     col, sp, p = _shade_hit(scene, types_present, rays, hits, pixel_sample,
-                            sampling_offs, jnp.ones(n, bool), opts, aux=aux)
+                            sampling_offs, jnp.ones(n, bool), opts, aux=aux,
+                            diff=diff)
     bg = eval_background(scene.background, rays.d)
     col = jnp.where(primary_valid[..., None], col, bg)
     alpha = jnp.where(primary_valid, 1.0,

@@ -166,7 +166,7 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
 
 
 def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
-              opts: PathOptions, aux=None, stats=None):
+              opts: PathOptions, aux=None, stats=None, diff=None):
     """Full path-tracer integrate() for a camera wavefront -> rgba [N,4].
     aux: photon-caustic map from preprocess (caustic_type photon/both);
     stats: optional dict accumulating traced/useful lane-ray counts."""
@@ -181,7 +181,11 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     primary_valid = hits.valid
 
     sp = scene_mod.surface_points_s(scene, rs, hits)
-    p = scene_mod.material_params_s(scene, sp)
+    lod = None
+    if diff is not None:
+        from core_tpu.differentials import texture_lod
+        lod = texture_lod(scene, vec.sp_to_aos(sp), rays, diff[0], diff[1])
+    p = scene_mod.material_params_s(scene, sp, lod=lod)
     wo = -rs.d
 
     emit_c = dispatch.emit_ss(types_present, p)

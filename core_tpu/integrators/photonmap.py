@@ -150,13 +150,17 @@ def _final_gather(scene, types_present, dmap, p, sp, wo, pixel_sample,
 
 
 def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
-               include_lights, opts: PhotonOptions, aux):
+               include_lights, opts: PhotonOptions, aux, diff=None):
     """Photon-map shading at given hits (emission + direct + caustic map +
     indirect via final gather / direct radiance estimate); the per-hit body
     shared by the primary wavefront and the specular/glossy chains.
     Returns (col [N,3], sp, p)."""
     sp = scene_mod.surface_points(scene, rays, hits)
-    p = scene_mod.material_params(scene, sp)
+    lod = None
+    if diff is not None:
+        from core_tpu.differentials import texture_lod
+        lod = texture_lod(scene, sp, rays, diff[0], diff[1])
+    p = scene_mod.material_params(scene, sp, lod=lod)
     wo = -rays.d
     active = hits.valid
 
@@ -187,7 +191,7 @@ def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
 
 
 def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
-              opts: PhotonOptions, aux=None):
+              opts: PhotonOptions, aux=None, diff=None):
     """integrate() (photonintegr.cc:791-860): emission + direct + caustic
     photons + final-gathered indirect; specular/glossy chains through the
     shared recursiveRaytrace (photonintegr.cc:791-860 recurses the same
@@ -199,7 +203,8 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     primary_valid = hits.valid
 
     col, sp, p = _shade_hit(scene, types_present, rays, hits, pixel_sample,
-                            sampling_offs, jnp.ones(n, bool), opts, aux)
+                            sampling_offs, jnp.ones(n, bool), opts, aux,
+                            diff=diff)
 
     chain = scene.has_specular or raytrace.has_glossy(types_present)
     if chain and opts.raydepth > 0:

@@ -31,6 +31,13 @@ class VolumeOptions:
     sky_alpha: float = 0.5        # exponential density steepness
     sky_scale: float = 0.1        # reference "sigma_t" (world scale)
     sky_turbidity: float = 3.0
+    # SingleScatter "optimize" mode (SingleScatterIntegrator.cc:16,
+    # 494-496 + volume.h attenuationGridMap): per-light volumetric
+    # attenuation is precomputed on a grid over each volume's bounds and
+    # looked up trilinearly during the march instead of re-marching a
+    # transmittance ray per step per light
+    optimize: bool = False
+    att_grid_res: int = 16        # reference attgridScale-sized grid
 
 
 # march resolution for volumetric attenuation of surface-NEE shadow rays
@@ -67,18 +74,76 @@ def transmittance(scene, rays: Rays, steps: int = 16) -> jnp.ndarray:
     return jnp.exp(-acc)
 
 
+def precompute_attenuation(scene, opts: VolumeOptions):
+    """Per-(volume, light) attenuation grids (the reference's
+    attenuationGridMap filled by SingleScatter's optimize mode).  Returns
+    a tuple of [L, R, R, R, 3] transmittance grids (one per volume) or
+    None when disabled.  Runs once per render, outside the chunk loop."""
+    if opts.integrator != "singlescatter" or not opts.optimize \
+            or not scene.volumes or not scene.lights:
+        return None
+    r = opts.att_grid_res
+    grids = []
+    for vol in scene.volumes:
+        fr = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r
+        gx = vol.bmin[0] + fr * (vol.bmax[0] - vol.bmin[0])
+        gy = vol.bmin[1] + fr * (vol.bmax[1] - vol.bmin[1])
+        gz = vol.bmin[2] + fr * (vol.bmax[2] - vol.bmin[2])
+        X, Y, Z = jnp.meshgrid(gx, gy, gz, indexing="ij")
+        pts = jnp.stack([X.reshape(-1), Y.reshape(-1), Z.reshape(-1)], -1)
+        fake_sp = _point_sp(pts)
+        per_light = []
+        for light in scene.lights:
+            if light_base.dirac(light):
+                ls = light_base.illuminate(light, fake_sp)
+            else:
+                s = jnp.full(pts.shape[0], 0.5, jnp.float32)
+                ls = light_base.illum_sample(light, fake_sp, s, s)
+            sray = Rays(o=pts, d=ls.wi,
+                        tmin=jnp.full(pts.shape[0], SHADOW_BIAS),
+                        tmax=jnp.where(ls.dist > 0,
+                                       ls.dist - SHADOW_BIAS, -1.0))
+            tr = transmittance(scene, sray, steps=opts.steps)
+            per_light.append(tr.reshape(r, r, r, 3))
+        grids.append(jnp.stack(per_light))
+    return tuple(grids)
+
+
+def _att_lookup(grid, bmin, bmax, p):
+    """Trilinear [R,R,R,3] attenuation lookup at world points p [N,3]."""
+    r = grid.shape[0]
+    f = (p - bmin[None]) / jnp.maximum(bmax - bmin, 1e-9)[None] * r - 0.5
+    f = jnp.clip(f, 0.0, r - 1.0)
+    i0 = jnp.floor(f).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, r - 1)
+    w = f - i0.astype(jnp.float32)
+    out = 0.0
+    for dx_ in (0, 1):
+        for dy_ in (0, 1):
+            for dz_ in (0, 1):
+                ix = i1[..., 0] if dx_ else i0[..., 0]
+                iy = i1[..., 1] if dy_ else i0[..., 1]
+                iz = i1[..., 2] if dz_ else i0[..., 2]
+                wt = (w[..., 0] if dx_ else 1 - w[..., 0]) \
+                    * (w[..., 1] if dy_ else 1 - w[..., 1]) \
+                    * (w[..., 2] if dz_ else 1 - w[..., 2])
+                out = out + grid[ix, iy, iz] * wt[..., None]
+    return out
+
+
 def integrate(scene, rays: Rays, hits_t, pixel_sample, sampling_offs,
-              opts: VolumeOptions) -> jnp.ndarray:
+              opts: VolumeOptions, vol_aux=None) -> jnp.ndarray:
     """In-scattered (+emitted) radiance along camera rays -> [N,3].
 
     hits_t: [N] surface-hit distance (<0 => miss/unbounded) caps the march.
+    vol_aux: precompute_attenuation grids (optimize mode).
     """
     if not scene.volumes or opts.integrator == "none":
         return jnp.zeros(rays.o.shape, jnp.float32)
     capped = Rays(o=rays.o, d=rays.d, tmin=rays.tmin,
                   tmax=jnp.where(hits_t > 0, hits_t, rays.tmax))
     col = jnp.zeros(rays.o.shape, jnp.float32)
-    for vol in scene.volumes:
+    for vol_idx, vol in enumerate(scene.volumes):
         hit, t0, t1 = vr.cross_bb(vol, capped)
         dt = (t1 - t0) / opts.steps
         trans = jnp.ones(rays.o.shape, jnp.float32)
@@ -92,7 +157,7 @@ def integrate(scene, rays: Rays, hits_t, pixel_sample, sampling_offs,
             if opts.integrator == "singlescatter":
                 ss = vr.sigma_s(vol, p)
                 fake_sp = _point_sp(p)
-                for light in scene.lights:
+                for li, light in enumerate(scene.lights):
                     if light_base.dirac(light):
                         ls = light_base.illuminate(light, fake_sp)
                     else:
@@ -105,7 +170,12 @@ def integrate(scene, rays: Rays, hits_t, pixel_sample, sampling_offs,
                                 tmin=jnp.full(p.shape[:-1], SHADOW_BIAS),
                                 tmax=ls.dist - SHADOW_BIAS)
                     shadowed = scene_mod.any_hit(scene, sray)
-                    ltr = transmittance(scene, sray, steps=max(4, opts.steps // 4))
+                    if vol_aux is not None:
+                        ltr = _att_lookup(vol_aux[vol_idx][li],
+                                          vol.bmin, vol.bmax, p)
+                    else:
+                        ltr = transmittance(scene, sray,
+                                            steps=max(4, opts.steps // 4))
                     ph = vr.phase_hg(vol, -ls.wi, -rays.d)
                     contrib = ss * ls.col * ltr \
                         * (ph / jnp.maximum(ls.pdf, 1e-12))[..., None]

@@ -131,7 +131,7 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
                  pass_offs: int, spp: int, sample0: int,
                  resample_mask: Optional[jnp.ndarray],
                  y0=0, rows: Optional[int] = None, aux=None,
-                 splat_y0=0) -> Film:
+                 splat_y0=0, vol_aux=None) -> Film:
     """Trace spp samples for every pixel and splat into film.
 
     y0/rows restrict ray generation to a row block [y0, y0+rows) — used by
@@ -181,10 +181,18 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
 
     integ = _integrator_fn(opts)
     density_splat = None
+    # primary-ray differentials (diffRay_t, integrator.cc:299-304): the
+    # +1-pixel neighbor directions drive image-texture mip filtering
+    diff_kw = {}
+    if opts.integrator in ("directlight", "pathtracing", "photonmapping") \
+            and _has_image_textures(scene):
+        from core_tpu.differentials import camera_diff_dirs
+        dxd, dyd = camera_diff_dirs(cam, px, py, lens_u, lens_v)
+        diff_kw = {"diff": (dxd, dyd)}
     if aux is not None:
         rgba = integ(scene, types_present, rays,
                      pixel_sample.astype(jnp.int32), sampling_offs,
-                     opts.integrator_opts, aux=aux)
+                     opts.integrator_opts, aux=aux, **diff_kw)
     elif opts.integrator == "bidirectional":
         # bidir additionally returns t=1 light-image splats (the
         # reference's density buffer, bidirpath.cc:239-262)
@@ -194,7 +202,7 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     else:
         rgba = integ(scene, types_present, rays,
                      pixel_sample.astype(jnp.int32), sampling_offs,
-                     opts.integrator_opts)
+                     opts.integrator_opts, **diff_kw)
 
     vopts = opts.volume_opts
     if vopts.integrator == "sky":
@@ -220,7 +228,8 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
         tr = vol_mod.transmittance(scene, capped, opts.volume_opts.steps)
         inscatter = vol_mod.integrate(scene, rays, vhits.t,
                                       pixel_sample.astype(jnp.int32),
-                                      sampling_offs, opts.volume_opts)
+                                      sampling_offs, opts.volume_opts,
+                                      vol_aux=vol_aux)
         rgba = jnp.concatenate(
             [rgba[..., :3] * tr + inscatter, rgba[..., 3:]], axis=-1)
 
@@ -252,10 +261,10 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
                    static_argnames=("types_present", "opts", "spp",
                                     "with_mask"))
 def _render_chunk_jit(scene, types_present, opts, film, pass_offs, spp,
-                      sample0, resample_mask, with_mask, aux):
+                      sample0, resample_mask, with_mask, aux, vol_aux):
     return render_chunk(scene, types_present, opts, film, pass_offs, spp,
                         sample0, resample_mask if with_mask else None,
-                        aux=aux)
+                        aux=aux, vol_aux=vol_aux)
 
 
 def render_image(scene, opts: RenderOptions, verbose: bool = False,
@@ -291,6 +300,9 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False,
     film = film_mod.make_film(cam.resy, cam.resx)
     dummy_mask = jnp.ones((cam.resy, cam.resx), bool)
     aux = integrator_preprocess(scene, types_present, opts)
+    # per-light volumetric attenuation grids (SingleScatter optimize mode)
+    from core_tpu.integrators import volume as vol_mod
+    vol_aux = vol_mod.precompute_attenuation(scene, opts.volume_opts)
     start_pass = 0
     offs = 0
     if checkpoint_path:
@@ -314,7 +326,8 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False,
             spp = min(opts.spp_chunk, n_samples - done)
             film = _render_chunk_jit(scene, types_present, opts, film,
                                      pass_offs, spp, done,
-                                     resample_mask, with_mask, aux)
+                                     resample_mask, with_mask, aux,
+                                     vol_aux)
             done += spp
             chunk_idx += 1
             if progress is not None:
@@ -374,6 +387,12 @@ def render_zbuffer(scene, normalize: bool = True):
     zmax = jnp.max(jnp.where(finite, z, -jnp.inf))
     zn = 1.0 - jnp.clip((z - zmin) / jnp.maximum(zmax - zmin, 1e-9), 0.0, 1.0)
     return jnp.where(finite, zn, 0.0)
+
+
+def _has_image_textures(scene) -> bool:
+    from core_tpu.textures.base import TexType
+    return scene.textures is not None and any(
+        d.ttype == TexType.IMAGE for d in scene.textures.defs)
 
 
 def scene_material_types(scene) -> tuple:

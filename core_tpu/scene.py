@@ -359,7 +359,7 @@ def apply_bump(scene: Scene, sp: SurfacePoints) -> SurfacePoints:
     return sp
 
 
-def material_params_s(scene: Scene, sps):
+def material_params_s(scene: Scene, sps, lod=None):
     """SoA material rows.  Scenes with blend/mask composites or textures go
     through the AoS resolver (material_params) then convert; plain scenes
     use dense per-column gathers."""
@@ -375,14 +375,17 @@ def material_params_s(scene: Scene, sps):
                  or bool(scene.node_programs))
     if needs_aos:
         from core_tpu.vec import sp_to_aos
-        return params_to_soa(material_params(scene, sp_to_aos(sps)))
+        return params_to_soa(material_params(scene, sp_to_aos(sps), lod=lod))
     return gather_params_s(scene.materials, sps.mat)
 
 
-def material_params(scene: Scene, sp: SurfacePoints):
+def material_params(scene: Scene, sp: SurfacePoints, lod=None):
     """Per-hit material rows with texture maps applied (the reference's
     shader-node substitution in initBSDF, e.g. glossy2.cc:88-96: a mapped
     diffuse node replaces the material's diffuse color per hit).
+
+    lod: optional [N] UV-space footprint (primary-ray differentials) for
+    mip-filtered image texture lookups.
 
     BLEND/MASK composites (src/materials/blend.cc, mask.cc) resolve here:
     mask switches to one of its two sub-material rows by texture threshold
@@ -403,7 +406,8 @@ def material_params(scene: Scene, sp: SurfacePoints):
         val = p.blend_val
         if scene.textures is not None:
             from core_tpu.textures.base import eval_texture
-            trgba = eval_texture(scene.textures, p.blend_tex, sp.p, sp.uv)
+            trgba = eval_texture(scene.textures, p.blend_tex, sp.p, sp.uv,
+                                 lod=lod)
             tval = jnp.mean(trgba[..., :3], axis=-1)
             has_btex = p.blend_tex >= 0
             # mask: texture vs threshold; blend: texture drives factor
@@ -434,7 +438,8 @@ def material_params(scene: Scene, sp: SurfacePoints):
                       for l0, l1, lo in zip(sub0, sub1, p)])
     if scene.textures is not None:
         from core_tpu.textures.base import eval_texture
-        rgba = eval_texture(scene.textures, p.diffuse_tex, sp.p, sp.uv)
+        rgba = eval_texture(scene.textures, p.diffuse_tex, sp.p, sp.uv,
+                            lod=lod)
         has = p.diffuse_tex >= 0
         p = p._replace(diffuse_color=jnp.where(has[..., None],
                                                rgba[..., :3],

@@ -87,6 +87,11 @@ class TextureSet(NamedTuple):
     (hashable by id) so jit can branch per texture family."""
     atlas: jnp.ndarray      # [K,H,W,4] padded image atlas (K>=1)
     atlas_hw: jnp.ndarray   # [K,2] true (h,w) per image
+    # mip pyramid for footprint-aware (ray-differential) lookups: level
+    # l+1 is a 2x2 box downsample of level l (built per true image size,
+    # so atlas padding never bleeds in)
+    mips: tuple = ()        # per level: [K, H>>l, W>>l, 4]
+    mips_hw: tuple = ()     # per level: [K,2] true (h,w)
 
 
 class CompiledTextures:
@@ -120,14 +125,30 @@ jax.tree_util.register_pytree_node(CompiledTextures, _ct_flatten,
                                    _ct_unflatten)
 
 
+MAX_MIP_LEVELS = 8
+
+
+def _downsample2(im):
+    """2x2 box average; odd trailing row/col folds into the last cell."""
+    h, w = im.shape[:2]
+    h2, w2 = max(1, h // 2), max(1, w // 2)
+    im = im[:h2 * 2, :w2 * 2] if h >= 2 and w >= 2 else im
+    if h >= 2 and w >= 2:
+        return 0.25 * (im[0::2, 0::2] + im[1::2, 0::2]
+                       + im[0::2, 1::2] + im[1::2, 1::2])
+    return im[:h2, :w2]
+
+
 def build_texture_set(defs: list) -> CompiledTextures:
     imgs = [d.image for d in defs if d.ttype == TexType.IMAGE]
+    mips, mips_hw = (), ()
     if imgs:
         maxh = max(i.shape[0] for i in imgs)
         maxw = max(i.shape[1] for i in imgs)
         atlas = np.zeros((len(imgs), maxh, maxw, 4), np.float32)
         hw = np.zeros((len(imgs), 2), np.int32)
         k = 0
+        prepped = []
         for d in defs:
             if d.ttype == TexType.IMAGE:
                 im = np.asarray(d.image, np.float32)
@@ -136,17 +157,40 @@ def build_texture_set(defs: list) -> CompiledTextures:
                 if im.shape[-1] == 3:
                     im = np.concatenate([im, np.ones_like(im[..., :1])], -1)
                 if d.gamma != 1.0:
+                    im = im.copy()
                     im[..., :3] = np.power(np.maximum(im[..., :3], 0.0),
                                            d.gamma)
                 atlas[k, :im.shape[0], :im.shape[1]] = im
                 hw[k] = (im.shape[0], im.shape[1])
                 d._atlas_slot = k
+                prepped.append(im)
                 k += 1
+        # mip chain (per true image size; padding never bleeds in)
+        n_levels = 0
+        mh, mw = maxh, maxw
+        while min(mh, mw) >= 2 and n_levels < MAX_MIP_LEVELS:
+            mh, mw = max(1, mh // 2), max(1, mw // 2)
+            n_levels += 1
+        level_imgs = prepped
+        ml, mlhw = [], []
+        mh, mw = maxh, maxw
+        for _ in range(n_levels):
+            mh, mw = max(1, mh // 2), max(1, mw // 2)
+            level_imgs = [_downsample2(im) for im in level_imgs]
+            lvl = np.zeros((len(imgs), mh, mw, 4), np.float32)
+            lhw = np.zeros((len(imgs), 2), np.int32)
+            for k2, im in enumerate(level_imgs):
+                lvl[k2, :im.shape[0], :im.shape[1]] = im
+                lhw[k2] = (im.shape[0], im.shape[1])
+            ml.append(jnp.asarray(lvl))
+            mlhw.append(jnp.asarray(lhw))
+        mips, mips_hw = tuple(ml), tuple(mlhw)
     else:
         atlas = np.zeros((1, 1, 1, 4), np.float32)
         hw = np.ones((1, 2), np.int32)
     return CompiledTextures(list(defs),
-                            TextureSet(jnp.asarray(atlas), jnp.asarray(hw)))
+                            TextureSet(jnp.asarray(atlas), jnp.asarray(hw),
+                                       mips, mips_hw))
 
 
 def _shape_fn(shape: str, w):
@@ -236,8 +280,32 @@ def _eval_one_float(d: TextureDef, p):
     raise ValueError(d.ttype)
 
 
-def _eval_image(d: TextureDef, tset: TextureSet, uv):
-    """Image texture lookup (imagetex.cc doMapping/interpolateImage)."""
+def _bilinear_tap(img, h, w, slot, u, v):
+    """One bilinear fetch from a [K,H,W,4] level at normalized (u,v)."""
+    fx = u * (w.astype(jnp.float32) - 1.0)
+    fy = v * (h.astype(jnp.float32) - 1.0)
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    tx = (fx - x0.astype(jnp.float32))[..., None]
+    ty = (fy - y0.astype(jnp.float32))[..., None]
+    c00 = img[slot, y0, x0]
+    c01 = img[slot, y0, x1]
+    c10 = img[slot, y1, x0]
+    c11 = img[slot, y1, x1]
+    return (c00 * (1 - tx) * (1 - ty) + c01 * tx * (1 - ty)
+            + c10 * (1 - tx) * ty + c11 * tx * ty)
+
+
+def _eval_image(d: TextureDef, tset: TextureSet, uv, lod=None):
+    """Image texture lookup (imagetex.cc doMapping/interpolateImage).
+
+    lod: optional [N] UV-space footprint extent from ray differentials
+    (differentials.texture_lod); selects a mip level pair and blends —
+    the texture-filtering role of the reference's spDifferentials_t
+    (surface.h:105-118; the reference itself never exploited them for
+    textures, so this is a strict upgrade over point sampling)."""
     slot = getattr(d, "_atlas_slot", 0)
     h = tset.atlas_hw[slot, 0]
     w = tset.atlas_hw[slot, 1]
@@ -282,28 +350,40 @@ def _eval_image(d: TextureDef, tset: TextureSet, uv):
                     for dx_ in (-1, 0, 1, 2)]
             rows.append(cubic(taps[0], taps[1], taps[2], taps[3], tx))
         out = cubic(rows[0], rows[1], rows[2], rows[3], ty)
+    elif lod is not None and tset.mips:
+        # trilinear mip filtering driven by the differential footprint
+        fp_texels = lod * jnp.maximum(
+            w.astype(jnp.float32) * float(d.xrepeat),
+            h.astype(jnp.float32) * float(d.yrepeat))
+        n_levels = len(tset.mips)
+        lvl = jnp.clip(jnp.log2(jnp.maximum(fp_texels, 1e-9)),
+                       0.0, float(n_levels))
+        l0 = jnp.floor(lvl).astype(jnp.int32)
+        frac = (lvl - l0.astype(jnp.float32))[..., None]
+        taps = [_bilinear_tap(tset.atlas, h, w, slot, u, v)]
+        for li in range(n_levels):
+            taps.append(_bilinear_tap(
+                tset.mips[li], tset.mips_hw[li][slot, 0],
+                tset.mips_hw[li][slot, 1], slot, u, v))
+        c0 = taps[0]
+        c1 = taps[min(1, n_levels)]
+        for li in range(1, n_levels + 1):
+            sel0 = (l0 == li)[..., None]
+            c0 = jnp.where(sel0, taps[li], c0)
+            c1 = jnp.where(sel0, taps[min(li + 1, n_levels)], c1)
+        out = c0 * (1.0 - frac) + c1 * frac
     else:
-        x0 = jnp.floor(fx).astype(jnp.int32)
-        y0 = jnp.floor(fy).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        y1 = jnp.minimum(y0 + 1, h - 1)
-        tx = (fx - x0.astype(jnp.float32))[..., None]
-        ty = (fy - y0.astype(jnp.float32))[..., None]
-        c00 = tset.atlas[slot, y0, x0]
-        c01 = tset.atlas[slot, y0, x1]
-        c10 = tset.atlas[slot, y1, x0]
-        c11 = tset.atlas[slot, y1, x1]
-        out = (c00 * (1 - tx) * (1 - ty) + c01 * tx * (1 - ty)
-               + c10 * (1 - tx) * ty + c11 * tx * ty)
+        out = _bilinear_tap(tset.atlas, h, w, slot, u, v)
     return jnp.where(inside[..., None], out,
                      jnp.zeros_like(out).at[..., 3].set(0.0))
 
 
-def eval_texture_def(ctex, i: int, p, uv):
-    """RGBA of texture def #i (static index) at 3D coords p / uv coords uv."""
+def eval_texture_def(ctex, i: int, p, uv, lod=None):
+    """RGBA of texture def #i (static index) at 3D coords p / uv coords uv.
+    lod: optional [N] UV-footprint for mip-filtered image lookups."""
     d = ctex.defs[i]
     if d.ttype == TexType.IMAGE:
-        return _eval_image(d, ctex.tset, uv)
+        return _eval_image(d, ctex.tset, uv, lod=lod)
     if d.ttype == TexType.RGB_CUBE:
         rgb = jnp.clip(jnp.abs(p), 0.0, 1.0)
         return jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], -1)
@@ -323,7 +403,7 @@ def eval_texture_def(ctex, i: int, p, uv):
     return jnp.concatenate([rgb, jnp.clip(val, 0.0, 1.0)[..., None]], -1)
 
 
-def eval_texture(ctex, tex_id, p, uv):
+def eval_texture(ctex, tex_id, p, uv, lod=None):
     """RGBA of per-lane texture tex_id at 3D coords p / uv coords uv.
 
     tex_id: [N] int32, -1 => white.  Static python loop over texture defs,
@@ -335,6 +415,6 @@ def eval_texture(ctex, tex_id, p, uv):
         return out
     for i, d in enumerate(ctex.defs):
         mask = tex_id == i
-        rgba = eval_texture_def(ctex, i, p, uv)
+        rgba = eval_texture_def(ctex, i, p, uv, lod=lod)
         out = jnp.where(mask[..., None], rgba, out)
     return out
