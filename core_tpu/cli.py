@@ -49,6 +49,14 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(reference xml-loader.cc -dp)")
     ap.add_argument("--custom-string", default="",
                     help="extra badge text (reference customString)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                         "render into DIR (xprof format)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join/initialize the jax.distributed process "
+                         "group (CORE_TPU_COORDINATOR/NUM_PROCESSES/"
+                         "PROCESS_ID env or pod autodetect) and shard "
+                         "the film rows over all hosts' devices")
     return ap
 
 
@@ -81,12 +89,24 @@ def main(argv=None) -> int:
                 scene.camera.resx, scene.camera.resy, opts.integrator,
                 opts.aa_passes, opts.aa_samples)
 
-    with timer("render"):
-        if args.devices > 1:
-            from core_tpu.parallel.sharding import make_mesh, render_sharded
+    import contextlib
+    prof = contextlib.nullcontext()
+    if args.profile:
+        from core_tpu.utils.profiler import profile_trace
+        prof = profile_trace(args.profile)
+    with timer("render"), prof:
+        if args.multihost:
+            from core_tpu.parallel.distributed import (init_distributed,
+                                                       global_mesh)
+            init_distributed()
+            from core_tpu.parallel.sharding import render_rowsharded
+            mesh = global_mesh()
+            img = render_rowsharded(scene, opts, mesh, spp=opts.aa_samples)
+        elif args.devices > 1:
+            from core_tpu.parallel.sharding import make_mesh, render_rowsharded
             mesh = make_mesh(args.devices)
-            img = render_sharded(scene, opts, mesh,
-                                 spp=opts.aa_samples)
+            img = render_rowsharded(scene, opts, mesh,
+                                    spp=opts.aa_samples)
         else:
             from core_tpu.render import render_image
             img, _ = render_image(scene, opts, verbose=args.verbosity >= 2)

@@ -264,6 +264,8 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
     itype = ip.get_str("type", "directlighting")
     raydepth = ip.get_int("raydepth", 5)
     common_ao = dict(
+        transp_shad=ip.get_bool("transpShad", False),
+        shadow_depth=ip.get_int("shadowDepth", 5),
         use_ao=ip.get_bool("do_AO", False),
         ao_samples=ip.get_int("AO_samples", 32),
         ao_dist=ip.get_float("AO_distance", 1.0),
@@ -304,6 +306,8 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
             bounces=ip.get_int("bounces", 5),
             search_radius=ip.get_float("photonRadius", 1.0)
             * ip.get_float("times", 1.0),
+            pm_ire=ip.get_bool("pmIRE", False),
+            search_count=ip.get_int("searchNum", 64),
             raydepth=raydepth)
     elif itype == "bidirectional":
         from core_tpu.integrators.bidir import BidirOptions

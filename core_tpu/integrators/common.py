@@ -59,6 +59,39 @@ def _apply_vol_transmittance(scene, o3, wi3, dist, contrib):
     return contrib * vec.v3(tr)
 
 
+def transparent_shadow(scene, types_present, o, d, tcap, exclude_prim,
+                       depth: int):
+    """Transparent-shadow attenuation (scene_t::isShadowed TS variant,
+    scene.cc:904 + mcintegrator.cc:96 trShad): walk up to `depth` hits
+    along the shadow segment; FILTER-flagged hits multiply their
+    transparency color in, anything else blocks.  AoS [N,3] in/out;
+    tcap <= 0 means unbounded.  Returns attenuation (0 = fully blocked).
+    """
+    n = o.shape[0]
+    att = jnp.ones((n, 3), jnp.float32)
+    tmin = jnp.full(n, SHADOW_BIAS)
+    excl = exclude_prim
+    from core_tpu.types import Rays as _Rays
+    for _ in range(max(1, depth)):
+        rays = _Rays(o=o, d=d, tmin=tmin,
+                     tmax=jnp.where(tcap > 0, tcap, -1.0))
+        hits = scene_mod.closest_hit(scene, rays, exclude_prim=excl)
+        hit_in = hits.valid & ((tcap <= 0) | (hits.t < tcap))
+        sp = scene_mod.surface_points(scene, rays, hits)
+        p = scene_mod.material_params(scene, sp)
+        tr = dispatch.transparency(types_present, p, sp, -d)
+        is_filter = (p.flags & BSDF.FILTER) != 0
+        tr = jnp.where(is_filter[..., None], tr, 0.0)
+        att = jnp.where(hit_in[..., None], att * tr, att)
+        # continue past the hit; fully-blocked lanes keep att = 0
+        tmin = jnp.where(hit_in, hits.t + SHADOW_BIAS, tmin)
+        excl = jnp.where(hit_in, hits.prim,
+                         excl if excl is not None else hits.prim)
+        if excl is None:
+            excl = hits.prim
+    return att
+
+
 def _tile_sp(sps, n):
     return vec.SPS(p=tile3(sps.p, n), n=tile3(sps.n, n), ng=tile3(sps.ng, n),
                    nu=tile3(sps.nu, n), nv=tile3(sps.nv, n),
@@ -72,25 +105,36 @@ def _tile_params(p, n):
 
 
 def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
-                          loffs, pixel_sample, sampling_offs, active):
+                          loffs, pixel_sample, sampling_offs, active,
+                          transp_shad=False, shadow_depth=5):
     """One light's direct contribution (mcintegrator.cc:73-196), SoA.
 
     active: [N] bool — rays whose shading is meaningful.  Returns V3 [N].
+    transp_shad: transparent shadow rays (reference trShad/shadowDepth) —
+    shadow tests become closest-hit walks accumulating filter colors.
     """
     l_offs = np.uint32(loffs * LOFFS_DELTA)
 
     if light_base.dirac(light):
         ls = light_base.illuminate_s(light, sps)
-        ray = RaysS(o=sps.p, d=ls.wi,
-                    tmin=jnp.full_like(ls.dist, SHADOW_BIAS),
-                    tmax=ls.dist - SHADOW_BIAS)
-        shadowed = scene_mod.any_hit_s(scene, ray, exclude_prim=sps.prim)
         surf = dispatch.eval_bsdf_s(types_present, p, sps, wo, ls.wi,
                                     BSDF.ALL)
         contrib = surf * ls.col * jnp.abs(dot3(sps.n, ls.wi))
         contrib = _apply_vol_transmittance(scene, sps.p, ls.wi, ls.dist,
                                            contrib)
-        ok = active & ls.valid & (~shadowed)
+        if transp_shad and scene.has_transparency:
+            att = transparent_shadow(
+                scene, types_present, vec.aos(sps.p), vec.aos(ls.wi),
+                jnp.where(ls.dist > 0, ls.dist - SHADOW_BIAS, -1.0),
+                sps.prim, shadow_depth)
+            contrib = contrib * vec.v3(att)
+            ok = active & ls.valid
+        else:
+            ray = RaysS(o=sps.p, d=ls.wi,
+                        tmin=jnp.full_like(ls.dist, SHADOW_BIAS),
+                        tmax=ls.dist - SHADOW_BIAS)
+            shadowed = scene_mod.any_hit_s(scene, ray, exclude_prim=sps.prim)
+            ok = active & ls.valid & (~shadowed)
         return where3(ok, contrib, 0.0)
 
     # area-type light: batch its n samples into one (n*N)-lane wavefront
@@ -153,21 +197,33 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
             # masked out of l_ok/b_ok below anyway, but tracing them as
             # open rays wastes triangle tests and blocks the planar-
             # cluster cull (an open ray's far endpoint is at infinity).
-            l_tcap = _shadow_tcap(ls.valid, ls.dist)
-            b_tcap = _shadow_tcap(lh.valid, lh.t)
-            shad = scene_mod.any_hit_nee_s(
-                scene, sps.p, tmin_nee,
-                slices3(ls.wi) + slices3(sres.wi),
-                slices1(l_tcap) + slices1(b_tcap),
-                exclude_prim=sps.prim)
-            shad = checkpoint_name(shad, "nee_kernel")
-            l_shadowed = shad[:n * N]
-            b_shadowed = shad[n * N:]
-
             lcontrib = surf * ls.col * ((cos_term * w
                                          / jnp.maximum(ls.pdf, 1e-12)))
             lcontrib = _apply_vol_transmittance(scene, spb.p, ls.wi, ls.dist,
                                                 lcontrib)
+            if transp_shad and scene.has_transparency:
+                l_att = transparent_shadow(
+                    scene, types_present, vec.aos(spb.p), vec.aos(ls.wi),
+                    jnp.where(ls.dist > 0, ls.dist - SHADOW_BIAS, -1.0),
+                    spb.prim, shadow_depth)
+                b_att = transparent_shadow(
+                    scene, types_present, vec.aos(spb.p), vec.aos(sres.wi),
+                    jnp.where(lh.t > 0, lh.t - SHADOW_BIAS, -1.0),
+                    spb.prim, shadow_depth)
+                lcontrib = lcontrib * vec.v3(l_att)
+                l_shadowed = jnp.zeros_like(ls.valid)
+                b_shadowed = jnp.zeros_like(ls.valid)
+            else:
+                l_tcap = _shadow_tcap(ls.valid, ls.dist)
+                b_tcap = _shadow_tcap(lh.valid, lh.t)
+                shad = scene_mod.any_hit_nee_s(
+                    scene, sps.p, tmin_nee,
+                    slices3(ls.wi) + slices3(sres.wi),
+                    slices1(l_tcap) + slices1(b_tcap),
+                    exclude_prim=sps.prim)
+                shad = checkpoint_name(shad, "nee_kernel")
+                l_shadowed = shad[:n * N]
+                b_shadowed = shad[n * N:]
             l_ok = activeb & ls.valid & (~l_shadowed) & (ls.pdf > 1e-6)
 
             lpdf = 1.0 / jnp.maximum(lh.ipdf, 1e-12)
@@ -177,18 +233,28 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
             bcontrib = sres.col * lh.col * (wb * sres.w)
             bcontrib = _apply_vol_transmittance(scene, spb.p, sres.wi, lh.t,
                                                 bcontrib)
+            if transp_shad and scene.has_transparency:
+                bcontrib = bcontrib * vec.v3(b_att)
             b_ok = activeb & lh.valid & (~b_shadowed) & (sres.pdf > 1e-6) \
                 & (lh.ipdf > 1e-6)
             total = where3(l_ok, lcontrib, 0.0) + where3(b_ok, bcontrib, 0.0)
         else:
-            l_tcap = _shadow_tcap(ls.valid, ls.dist)
-            shadowed = scene_mod.any_hit_nee_s(
-                scene, sps.p, tmin_nee, slices3(ls.wi),
-                slices1(l_tcap), exclude_prim=sps.prim)
-            shadowed = checkpoint_name(shadowed, "nee_kernel")
             contrib = surf * ls.col * (cos_term / jnp.maximum(ls.pdf, 1e-12))
             contrib = _apply_vol_transmittance(scene, spb.p, ls.wi, ls.dist,
                                                contrib)
+            if transp_shad and scene.has_transparency:
+                att = transparent_shadow(
+                    scene, types_present, vec.aos(spb.p), vec.aos(ls.wi),
+                    jnp.where(ls.dist > 0, ls.dist - SHADOW_BIAS, -1.0),
+                    spb.prim, shadow_depth)
+                contrib = contrib * vec.v3(att)
+                shadowed = jnp.zeros_like(ls.valid)
+            else:
+                l_tcap = _shadow_tcap(ls.valid, ls.dist)
+                shadowed = scene_mod.any_hit_nee_s(
+                    scene, sps.p, tmin_nee, slices3(ls.wi),
+                    slices1(l_tcap), exclude_prim=sps.prim)
+                shadowed = checkpoint_name(shadowed, "nee_kernel")
             ok = activeb & ls.valid & (~shadowed) & (ls.pdf > 1e-6)
             total = where3(ok, contrib, 0.0)
         return untile_sum3(total, n) * inv_n
@@ -197,13 +263,16 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
 
 
 def estimate_all_direct_s(scene, types_present, p, sps, wo, pixel_sample,
-                          sampling_offs, active) -> V3:
+                          sampling_offs, active, transp_shad=False,
+                          shadow_depth=5) -> V3:
     """Sum over all scene lights (mcintegrator.cc estimateAllDirectLight)."""
     col = zeros3(active)
     for loffs, light in enumerate(scene.lights):
         col = col + do_light_estimation_s(scene, types_present, p, sps, wo,
                                           light, loffs, pixel_sample,
-                                          sampling_offs, active)
+                                          sampling_offs, active,
+                                          transp_shad=transp_shad,
+                                          shadow_depth=shadow_depth)
     return col
 
 
@@ -245,10 +314,13 @@ def do_light_estimation(scene, types_present, p, sp, wo, light, loffs,
 
 
 def estimate_all_direct(scene, types_present, p, sp, wo, pixel_sample,
-                        sampling_offs, active):
+                        sampling_offs, active, transp_shad=False,
+                        shadow_depth=5):
     ps, sps, wos = _to_soa(p, sp, wo)
     return vec.aos(estimate_all_direct_s(scene, types_present, ps, sps, wos,
-                                         pixel_sample, sampling_offs, active))
+                                         pixel_sample, sampling_offs, active,
+                                         transp_shad=transp_shad,
+                                         shadow_depth=shadow_depth))
 
 
 def estimate_one_direct(scene, types_present, p, sp, wo, n_index,

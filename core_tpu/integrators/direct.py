@@ -33,6 +33,10 @@ from core_tpu.backgrounds import eval_background
 @dataclass(frozen=True)
 class DirectOptions:
     raydepth: int = 5
+    # transparent shadows (reference transpShad/shadowDepth): shadow rays
+    # walk through FILTER materials accumulating their filter color
+    transp_shad: bool = False
+    shadow_depth: int = 5
     use_ao: bool = False
     ao_samples: int = 32
     ao_dist: float = 1.0
@@ -63,7 +67,9 @@ def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
     emit_col = dispatch.emit(types_present, p)
     col = col + jnp.where((active & include_lights)[..., None], emit_col, 0.0)
     col = col + common.estimate_all_direct(scene, types_present, p, sp, wo,
-                                           pixel_sample, sampling_offs, active)
+                                           pixel_sample, sampling_offs, active,
+                                           transp_shad=opts.transp_shad,
+                                           shadow_depth=opts.shadow_depth)
     if opts.use_ao:
         col = col + _ambient_occlusion(scene, types_present, p, sp, wo,
                                        pixel_sample, sampling_offs, active, opts)

@@ -50,6 +50,8 @@ class PathOptions:
     c_photons: int = 500000       # reference "photons"
     caustic_radius: float = 0.25  # reference "caustic_radius"
     caustic_depth: int = 10       # reference "caustic_depth"
+    transp_shad: bool = False     # reference transpShad
+    shadow_depth: int = 5         # reference shadowDepth
     transp_background: bool = False
     use_ao: bool = False
     ao_samples: int = 32
@@ -200,7 +202,9 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
         stats["useful"] += nee_lanes * jnp.sum(nee0.astype(jnp.float32))
     col = col + common.estimate_all_direct_s(scene, types_present, p, sp, wo,
                                              pixel_sample, sampling_offs,
-                                             nee0)
+                                             nee0,
+                                             transp_shad=opts.transp_shad,
+                                             shadow_depth=opts.shadow_depth)
 
     # photon-mapped caustics at the primary vertex (pathtracer.cc:171)
     if aux is not None and "caustic" in aux \

@@ -40,10 +40,17 @@ class SPPMOptions:
     passes: int = 8
     photons: int = 100000          # photons per pass
     bounces: int = 5               # photon depth
-    search_radius: float = 1.0     # initial gather radius (pass_num IRE off)
-    alpha: float = 0.7             # SPPM alpha (reference PM_IRE alpha)
+    search_radius: float = 1.0     # initial gather radius
+    alpha: float = 0.7             # SPPM radius-shrink alpha
     raydepth: int = 4              # eye specular chain depth
     spp: int = 1                   # eye samples per pixel per pass
+    # PM_IRE (sppm.cc:554-572): on the first pass, shrink each pixel's
+    # initial radius so it would contain ~search_count photons, from the
+    # measured local photon density (the reference gathers the
+    # nSearch-nearest photons; the grid analog scales r^2 by
+    # search_count/count assuming locally-2D photon density)
+    pm_ire: bool = False
+    search_count: int = 64         # reference "searchNum"
 
 
 class HitPoints(NamedTuple):
@@ -178,6 +185,19 @@ def render_sppm(scene, opts: SPPMOptions, verbose=False):
             scene_radius=world_r)
         grid = pmap_mod.build_photon_grid(ppos, ppow, pdir, pok, r0,
                                           bmin, bmax)
+
+        if opts.pm_ire:
+            # PM_IRE: first pass only — set each pixel's initial radius
+            # from the photon density around its hit point
+            _, c0 = _gather_flat(grid, pos, nrm, jnp.full_like(state.r2, r0),
+                                 r0)
+            r2_ire = jnp.clip(
+                r0 * r0 * opts.search_count
+                / jnp.maximum(c0.astype(jnp.float32), 1.0),
+                r0 * r0 * 1e-4, r0 * r0)
+            first = pass_idx == 0
+            state = state._replace(
+                r2=jnp.where(first & valid, r2_ire, state.r2))
 
         # gather raw flux within per-pixel radius (no kernel: SPPM uses the
         # flat pi r^2 estimator, sppm.cc:780-800)

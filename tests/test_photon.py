@@ -257,3 +257,25 @@ def test_radiance_cache_matches_direct_final_gather():
     # pixelwise: indirect is a smooth field; cell quantization stays small
     rel = np.abs(img_cached - img_direct) / np.maximum(img_direct, 0.05)
     assert np.median(rel) < 0.3, np.median(rel)
+
+
+def test_sppm_pm_ire_density_radius():
+    """PM_IRE (sppm.cc:554-572): with the density-based initial-radius
+    estimate on, per-pixel radii vary with local photon density and
+    never exceed the base radius; the render stays sane."""
+    from core_tpu.integrators.sppm import SPPMOptions, render_sppm
+    scene = cornell_box(resx=10, resy=10, light_samples=1)
+    r0 = 60.0
+    opts = SPPMOptions(passes=2, photons=8192, bounces=3,
+                       search_radius=r0, raydepth=1,
+                       pm_ire=True, search_count=32)
+    img = np.asarray(render_sppm(scene, opts))
+    assert img.shape == (10, 10, 4)
+    assert np.isfinite(img).all()
+    assert img[..., :3].mean() > 0.01
+    # compare against IRE-off: images should be in the same ballpark
+    opts_off = SPPMOptions(passes=2, photons=8192, bounces=3,
+                           search_radius=r0, raydepth=1, pm_ire=False)
+    img_off = np.asarray(render_sppm(scene, opts_off))
+    m, m_off = img[..., :3].mean(), img_off[..., :3].mean()
+    assert 0.4 * m_off < m < 2.5 * m_off, (m, m_off)

@@ -136,3 +136,58 @@ def test_bg_light_occlusion_under_slab():
     assert shadowed < 0.8 * open_, (
         f"bg-light shadowing missing: shadowed={shadowed:.4f} "
         f"open={open_:.4f}")
+
+
+def test_transparent_shadows():
+    """transpShad (scene_t::isShadowed TS variant, scene.cc:904): light
+    through a transparent green pane is attenuated by its filter color
+    instead of fully blocked; opaque shadow tests block it entirely."""
+    from core_tpu.geometry.mesh import MeshAssembler
+    from core_tpu.materials.base import MaterialDef, build_material_table
+    from core_tpu.cameras import make_perspective
+    from core_tpu.scene import Scene, resolve_intersector
+    from core_tpu.lights.point import make_point_light
+    from core_tpu import scene as scene_mod
+    from core_tpu.integrators import common
+
+    a = MeshAssembler()
+    m = a.start_mesh()
+    _add_quad(a, m, (-20, 0, -20), (-20, 0, 20), (20, 0, 20),
+              (20, 0, -20), 0)                      # floor, white
+    _add_quad(a, m, (-12, 5, -12), (-12, 5, 12), (-2, 5, 12),
+              (-2, 5, -12), 1)                      # pane over -x half
+    geom = a.build()
+    mats = [
+        MaterialDef(name="white", diffuse_color=(0.8, 0.8, 0.8)),
+        MaterialDef(name="pane", diffuse_color=(0.1, 0.9, 0.1),
+                    transparency=0.8, transmit_filter=1.0,
+                    diffuse_strength=0.2),
+    ]
+    cam = make_perspective(pos=(0, 15, 0), look=(0, 0, 0), up=(0, 15, 1),
+                           resx=8, resy=8, focal=1.0)
+    light = make_point_light(pos=(-7, 30, 0), color=(1, 1, 1),
+                             power=4000.0)
+    scene = Scene(geom=geom, materials=build_material_table(mats),
+                  lights=(light,), camera=cam, background=None, accel=None,
+                  has_specular=True, has_transparency=True, mat_types=(0,),
+                  intersector=resolve_intersector("auto", geom.n_tris))
+
+    def direct(transp_shad):
+        xs = [-8.0, -7.0, -6.0, -7.5] * 4           # under the pane
+        sp = _floor_points(scene, xs)
+        p = scene_mod.material_params(scene, sp)
+        wo = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+                      (len(xs), 1))
+        col = common.estimate_all_direct(
+            scene, scene.mat_types, p, sp, wo,
+            pixel_sample=jnp.arange(len(xs), dtype=jnp.uint32),
+            sampling_offs=np.uint32(0), active=jnp.ones(len(xs), bool),
+            transp_shad=transp_shad, shadow_depth=4)
+        return np.asarray(col).mean(axis=0)
+
+    blocked = direct(False)
+    filtered = direct(True)
+    assert blocked.max() < 1e-4, blocked          # opaque: full shadow
+    assert filtered[1] > 1e-3, filtered           # TS: green gets through
+    # filter color dominates: green >> red/blue
+    assert filtered[1] > 3.0 * max(filtered[0], filtered[2]), filtered
