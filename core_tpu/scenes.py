@@ -67,11 +67,14 @@ def cornell_box(resx=256, resy=256, light_samples=16, light_power=30.0,
                                         diffuse_strength=0.0,
                                         mirror_color=(0.9, 0.9, 0.9)))
             elif bm == "glossy":
+                # matches refgold/driver.cc's glossymat: as_diffuse=false
+                # so the AS lobe goes through the glossy indirect branch
+                # (recursiveRaytrace) exactly like the reference
                 mats.append(MaterialDef(name="glossy", mtype=MatType.GLOSSY,
                                         diffuse_color=(0.3, 0.3, 0.3),
                                         glossy_color=(0.8, 0.8, 0.8),
                                         glossy_reflect=0.7, exp_u=120.0,
-                                        exp_v=120.0))
+                                        exp_v=120.0, as_diffuse=False))
             elif bm == "glass":
                 mats.append(MaterialDef(name="glass", mtype=MatType.GLASS,
                                         ior=1.5, filter_color=(1.0, 1.0, 1.0),

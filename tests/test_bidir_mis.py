@@ -83,7 +83,7 @@ def test_bdpt_finds_glass_caustics_pt_cannot():
     from core_tpu.integrators.bidir import BidirOptions
     from core_tpu.integrators.path import PathOptions
 
-    scene = cornell_box(resx=24, resy=24, light_samples=2,
+    scene = cornell_box(resx=16, resy=16, light_samples=2,
                         block_materials=("glass", "white"),
                         intersector="brute")
     img_bd, _ = render_image(scene, RenderOptions(
@@ -101,8 +101,8 @@ def test_bdpt_finds_glass_caustics_pt_cannot():
     assert np.isfinite(img_bd).all() and np.isfinite(img_pt).all()
     # floor region in front of the short (glass) block: rows near the
     # bottom of the image, left half (camera at -z looking at +z)
-    region_bd = img_bd[19:24, 3:12].mean()
-    region_pt = img_pt[19:24, 3:12].mean()
+    region_bd = img_bd[12:16, 2:8].mean()
+    region_pt = img_pt[12:16, 2:8].mean()
     assert region_bd > 0.01
     # BDPT light-path transport reaches the region with refracted energy;
     # the crippled PT (bounces=1) only gets direct light there

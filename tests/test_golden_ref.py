@@ -96,13 +96,16 @@ def dl_spec_pair():
 
 
 def test_specular_blocks_match_reference(dl_spec_pair):
-    """Glossy + glass paths: 128x128/16spp measured 1.25% mean rel error
-    on TPU; 64x64/8spp bound is looser for MC noise."""
+    """Glossy + glass paths vs the reference golden (whose glossymat is
+    as_diffuse=false, refgold/driver.cc:157 — so the reference's glossy
+    indirect branch is in play).  Round 3's glossy recursiveRaytrace
+    branch cut the measured 64x64/8spp mean rel error from 1.45% to
+    0.90%; bound leaves room for MC noise."""
     img, ref = dl_spec_pair
     m, r = img[..., :3], ref[..., :3]
-    assert abs(m.mean() - r.mean()) / r.mean() < 0.03, (m.mean(), r.mean())
+    assert abs(m.mean() - r.mean()) / r.mean() < 0.02, (m.mean(), r.mean())
     rel_mae = np.abs(m - r).mean() / r.mean()
-    assert rel_mae < 0.06, rel_mae
+    assert rel_mae < 0.03, rel_mae
 
 
 @pytest.fixture(scope="module")

@@ -49,21 +49,21 @@ def test_camera_project_inverts_shoot_ray():
 
 
 def test_bidir_light_image_fills_and_conserves_energy():
-    scene = cornell_box(resx=24, resy=24, light_samples=2,
+    scene = cornell_box(resx=20, resy=20, light_samples=2,
                         with_blocks=False, intersector="brute")
     img_on, film_on = render_image(scene, RenderOptions(
         integrator="bidirectional",
         integrator_opts=BidirOptions(eye_depth=2, light_depth=2,
                                      do_light_image=True),
-        aa_samples=4, spp_chunk=2))
+        aa_samples=2, spp_chunk=2))
     img_off, film_off = render_image(scene, RenderOptions(
         integrator="bidirectional",
         integrator_opts=BidirOptions(eye_depth=2, light_depth=2,
                                      do_light_image=False),
-        aa_samples=4, spp_chunk=2))
+        aa_samples=2, spp_chunk=2))
     # the light image actually accumulated something
     assert float(jnp.sum(film_on.density)) > 0.0
-    assert float(film_on.n_density) == 24 * 24 * 4
+    assert float(film_on.n_density) == 20 * 20 * 2
     assert float(film_off.n_density) == 0.0
     # both estimators target the same image: mean brightness within 35%
     m_on = float(jnp.mean(img_on[..., :3]))
