@@ -49,3 +49,34 @@ def load_checkpoint(path: str):
                     else jnp.zeros((), jnp.float32))
         return (film, int(z["pass_idx"]), int(z["sample_offs"]),
                 json.loads(str(z["meta"])))
+
+
+SPPM_MAGIC = "core_tpu_sppm_checkpoint_v1"
+
+
+def save_sppm_checkpoint(path: str, state, pass_idx: int):
+    """SPPM progressive state (per-pixel HitPoints + pass counter) — the
+    natural SPPM checkpoint boundary SURVEY §5 names (sppm.h:41-48 holds
+    ALL cross-pass state; the photon QMC stream is a pure function of the
+    pass index, so resumption is bit-exact)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, magic=SPPM_MAGIC,
+                 r2=np.asarray(state.r2), acc_n=np.asarray(state.acc_n),
+                 tau=np.asarray(state.tau), direct=np.asarray(state.direct),
+                 pass_idx=pass_idx)
+    os.replace(tmp, path)
+
+
+def load_sppm_checkpoint(path: str):
+    """Returns (HitPoints, pass_idx) or None if absent."""
+    if not os.path.exists(path):
+        return None
+    from core_tpu.integrators.sppm import HitPoints
+    with np.load(path, allow_pickle=False) as z:
+        assert str(z["magic"]) == SPPM_MAGIC, "not an SPPM checkpoint"
+        state = HitPoints(r2=jnp.asarray(z["r2"]),
+                          acc_n=jnp.asarray(z["acc_n"]),
+                          tau=jnp.asarray(z["tau"]),
+                          direct=jnp.asarray(z["direct"]))
+        return state, int(z["pass_idx"])

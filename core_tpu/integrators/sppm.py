@@ -138,9 +138,14 @@ def _eye_pass(scene, types_present, rays, pixel_sample, sampling_offs,
     return out_p, out_n, out_wo, out_sp, out_pr, valid, throughput, direct
 
 
-def render_sppm(scene, opts: SPPMOptions, verbose=False):
+def render_sppm(scene, opts: SPPMOptions, verbose=False,
+                checkpoint_path=None):
     """Progressive render loop (replaces the base tiled render,
-    sppm.cc:62-109).  Returns image [H,W,4]."""
+    sppm.cc:62-109).  Returns image [H,W,4].
+
+    checkpoint_path: save HitPoints + pass counter after every pass and
+    resume bit-exactly from an existing file (the photon stream is a
+    pure function of the pass index)."""
     from core_tpu.render import scene_material_types, _pixel_grid
     from core_tpu.cameras import shoot_ray
 
@@ -217,8 +222,20 @@ def render_sppm(scene, opts: SPPMOptions, verbose=False):
         return HitPoints(r2=new_r2, acc_n=new_n, tau=new_tau,
                          direct=new_direct)
 
-    for k in range(opts.passes):
+    start_pass = 0
+    if checkpoint_path:
+        from core_tpu.checkpoint import (load_sppm_checkpoint,
+                                         save_sppm_checkpoint)
+        ck = load_sppm_checkpoint(checkpoint_path)
+        if ck is not None:
+            state, start_pass = ck
+            if verbose:
+                print(f"SPPM resumed at pass {start_pass}")
+
+    for k in range(start_pass, opts.passes):
         state = one_pass(scene, state, jnp.asarray(k, jnp.int32))
+        if checkpoint_path:
+            save_sppm_checkpoint(checkpoint_path, state, k + 1)
         if verbose:
             print(f"SPPM pass {k + 1}/{opts.passes}")
 

@@ -289,7 +289,8 @@ def render_image(scene, opts: RenderOptions, verbose: bool = False,
         # so flush (gamma/clamp/premult) behaves identically
         from core_tpu.integrators import sppm as sppm_mod
         rgba = sppm_mod.render_sppm(scene, opts.integrator_opts,
-                                    verbose=verbose)
+                                    verbose=verbose,
+                                    checkpoint_path=checkpoint_path)
         film = film_mod.Film(
             rgba=rgba, weight=jnp.ones(rgba.shape[:2], jnp.float32),
             density=jnp.zeros(rgba.shape[:2] + (3,), jnp.float32),

@@ -279,3 +279,26 @@ def test_sppm_pm_ire_density_radius():
     img_off = np.asarray(render_sppm(scene, opts_off))
     m, m_off = img[..., :3].mean(), img_off[..., :3].mean()
     assert 0.4 * m_off < m < 2.5 * m_off, (m, m_off)
+
+
+def test_sppm_render_image_api_and_checkpoint(tmp_path):
+    """SPPM through the standard render_image API (gamma applies at
+    flush) and bit-exact checkpoint resume: 1 pass + resume 2 more ==
+    3 passes straight."""
+    from core_tpu.integrators.sppm import SPPMOptions
+    scene = cornell_box(resx=8, resy=8, light_samples=1)
+    ck = str(tmp_path / "sppm.ckpt")
+
+    def opts(passes):
+        return RenderOptions(integrator="SPPM",
+                             integrator_opts=SPPMOptions(
+                                 passes=passes, photons=4096, bounces=3,
+                                 search_radius=60.0, raydepth=1),
+                             gamma=2.2)
+
+    img3, _ = render_image(scene, opts(3))
+    img1, _ = render_image(scene, opts(1), checkpoint_path=ck)
+    img_resumed, _ = render_image(scene, opts(3), checkpoint_path=ck)
+    np.testing.assert_allclose(np.asarray(img_resumed), np.asarray(img3),
+                               atol=2e-5)
+    assert np.isfinite(np.asarray(img1)).all()
