@@ -34,7 +34,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from core_tpu.mathutils import dot, luminance, MIN_RAYDIST, SHADOW_BIAS

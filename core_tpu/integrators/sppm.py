@@ -22,10 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from core_tpu.mathutils import MIN_RAYDIST, dot, luminance
+from core_tpu.mathutils import MIN_RAYDIST, luminance
 from core_tpu.types import Rays
 from core_tpu import scene as scene_mod
-from core_tpu import film as film_mod
 from core_tpu.sampling import qmc
 from core_tpu.materials import dispatch
 from core_tpu.materials.base import BSDF

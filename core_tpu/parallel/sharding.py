@@ -20,7 +20,6 @@ backward sweep (BASELINE config #5).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from core_tpu.types import Rays
-from core_tpu.mathutils import dot, MIN_RAYDIST
+from core_tpu.mathutils import MIN_RAYDIST
 from core_tpu.materials.base import BSDF, detach_sample
 from core_tpu.materials import dispatch
 from core_tpu.sampling import qmc
