@@ -277,7 +277,8 @@ def estimate_all_direct_s(scene, types_present, p, sps, wo, pixel_sample,
 
 
 def estimate_one_direct_s(scene, types_present, p, sps, wo, n_index,
-                          pixel_sample, sampling_offs, active) -> V3:
+                          pixel_sample, sampling_offs, active,
+                          transp_shad=False, shadow_depth=5) -> V3:
     """Pick one light by Halton CDF and weight by light count
     (mcintegrator.cc estimateOneDirectLight) — used at path bounces."""
     num = len(scene.lights)
@@ -286,13 +287,17 @@ def estimate_one_direct_s(scene, types_present, p, sps, wo, n_index,
     if num == 1:
         return do_light_estimation_s(scene, types_present, p, sps, wo,
                                      scene.lights[0], 0, pixel_sample,
-                                     sampling_offs, active)
+                                     sampling_offs, active,
+                                     transp_shad=transp_shad,
+                                     shadow_depth=shadow_depth)
     pick = jnp.minimum((qmc.ri_vdc(n_index) * num).astype(jnp.int32), num - 1)
     col = zeros3(active)
     for lnum, light in enumerate(scene.lights):
         c = do_light_estimation_s(scene, types_present, p, sps, wo, light,
                                   lnum, pixel_sample, sampling_offs,
-                                  active & (pick == lnum))
+                                  active & (pick == lnum),
+                                  transp_shad=transp_shad,
+                                  shadow_depth=shadow_depth)
         col = col + c
     return col * float(num)
 

@@ -147,7 +147,9 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
                 nee_active.astype(jnp.float32))
         lcol = common.estimate_one_direct_s(scene, types_present, p, sp, wo,
                                             offs, pixel_sample_b,
-                                            sampling_offs_b, nee_active)
+                                            sampling_offs_b, nee_active,
+                                            transp_shad=opts.transp_shad,
+                                            shadow_depth=opts.shadow_depth)
         # Emission pickup at path vertices (reference pathtracer.cc:240,295):
         # the first path vertex runs emit() with includeLights=false -> 0;
         # deeper vertices use `matBSDFs & (BSDF_EMIT && caustic)`, which by
