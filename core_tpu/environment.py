@@ -441,6 +441,7 @@ def _mat_glass(b: SceneBuilder, name, p: ParamMap, extra):
         transmit_filter=p.get_float("transmit_filter", 1.0),
         absorption=p.get_color("absorption", (0.0, 0.0, 0.0)),
         dispersion=p.get_float("dispersion_power", 0.0),
+        fake_shadows=p.get_bool("fake_shadows", False),
         alpha_rough=p.get_float("alpha", 0.5) if rough else 0.0)
     return b.add_material(name, d)
 

@@ -75,7 +75,7 @@ def preprocess(scene, types_present, opts: PhotonOptions):
     def build_diffuse(scene):
         out = pmap_mod.shoot_photons(
             scene, types_present, opts.photons, opts.bounces, seed=1,
-            caustic_only=False, scene_center=center, scene_radius=radius,
+            mode="diffuse", scene_center=center, scene_radius=radius,
             with_surface=with_cache)
         pos, pw, dr, ok = out[:4]
         grid = pmap_mod.build_photon_grid(pos, pw, dr, ok,
@@ -91,7 +91,7 @@ def preprocess(scene, types_present, opts: PhotonOptions):
     def build_caustic(scene):
         pos, pw, dr, ok = pmap_mod.shoot_photons(
             scene, types_present, opts.c_photons, opts.bounces, seed=2,
-            caustic_only=True, scene_center=center, scene_radius=radius)
+            mode="caustic", scene_center=center, scene_radius=radius)
         return pmap_mod.build_photon_grid(pos, pw, dr, ok,
                                           opts.caustic_radius, bmin, bmax)
 

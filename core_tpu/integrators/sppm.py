@@ -32,6 +32,7 @@ from core_tpu.integrators import common
 from core_tpu.backgrounds import eval_background
 from core_tpu.photon import map as pmap_mod
 from core_tpu.integrators.photonmap import scene_bound
+from core_tpu.integrators.raytrace import has_glossy as _has_glossy
 
 
 @dataclass(frozen=True)
@@ -62,19 +63,28 @@ class HitPoints(NamedTuple):
 
 def _eye_pass(scene, types_present, rays, pixel_sample, sampling_offs,
               opts: SPPMOptions):
-    """Trace eye rays through specular chains to the first diffuse hit.
+    """Trace eye rays through specular AND glossy chains to the first
+    diffuse hit (traceGatherRay: the reference recurses glossy surfaces
+    with 8 subsamples, sppm.cc ~700-800; one stochastic branch per lane
+    here — same expectation).  Emission at a continuation hit is included
+    only after specular branches: the glossy vertex's NEE BSDF-MIS side
+    already integrates BSDF-sampled light.
     Returns (positions, normals, wo, params, valid, throughput, direct)."""
+    from core_tpu.materials.base import detach_sample
     n = rays.o.shape[0]
+    glossy = _has_glossy(types_present)
     throughput = jnp.ones((n, 3), jnp.float32)
     direct = jnp.zeros((n, 3), jnp.float32)
     cur_rays = rays
     exclude = None
     done = jnp.zeros(n, bool)
+    include_lights = jnp.ones(n, bool)
     out_p = jnp.zeros((n, 3))
     out_n = jnp.zeros((n, 3))
     out_wo = jnp.zeros((n, 3))
     out_sp = None
     out_pr = None
+    u32 = pixel_sample.astype(jnp.uint32) + sampling_offs
 
     for depth in range(opts.raydepth + 1):
         hits = scene_mod.closest_hit(scene, cur_rays, exclude_prim=exclude)
@@ -84,14 +94,16 @@ def _eye_pass(scene, types_present, rays, pixel_sample, sampling_offs,
         if out_sp is None:
             out_sp, out_pr = sp, p
         live = (~done) & hits.valid
-        # background on miss
+        # background on miss (gated like emission for glossy branches)
         bg = eval_background(scene.background, cur_rays.d)
-        direct = direct + jnp.where(((~done) & (~hits.valid))[..., None],
-                                    throughput * bg, 0.0)
+        direct = direct + jnp.where(
+            ((~done) & (~hits.valid) & include_lights)[..., None],
+            throughput * bg, 0.0)
         done = done | (~hits.valid)
 
         emit_c = dispatch.emit(types_present, p)
-        direct = direct + jnp.where(live[..., None], throughput * emit_c, 0.0)
+        direct = direct + jnp.where((live & include_lights)[..., None],
+                                    throughput * emit_c, 0.0)
         lcol = common.estimate_all_direct(scene, types_present, p, sp, wo,
                                           pixel_sample, sampling_offs, live)
         direct = direct + jnp.where(live[..., None], throughput * lcol, 0.0)
@@ -105,29 +117,51 @@ def _eye_pass(scene, types_present, rays, pixel_sample, sampling_offs,
             lambda a, b: jnp.where(settle.reshape(settle.shape + (1,) * (a.ndim - 1)), a, b), sp, out_sp)
         out_pr = jax.tree_util.tree_map(
             lambda a, b: jnp.where(settle.reshape(settle.shape + (1,) * (a.ndim - 1)), a, b), p, out_pr)
-        gathered = settle
         done = done | settle
         if depth == opts.raydepth:
             break
 
-        # continue through specular branch (single stochastic branch)
+        # continue through specular or glossy branch (single stochastic
+        # branch per lane, throughput compensated by 1/p_branch)
         spec = dispatch.get_specular(types_present, p, sp, wo)
         lum_refl = luminance(spec.refl_col) * spec.refl_valid
         lum_refr = luminance(spec.refr_col) * spec.refr_valid
-        total = lum_refl + lum_refr
+        if glossy:
+            g1 = qmc.scr_halton(3 * depth + 13, u32)
+            g2 = qmc.scr_halton(3 * depth + 14, u32)
+            gres = detach_sample(dispatch.sample_bsdf(
+                types_present, p, sp, wo, g1, g2,
+                BSDF.GLOSSY | BSDF.REFLECT | BSDF.TRANSMIT))
+            g_col3 = gres.col * gres.w[..., None]
+            g_ok = (gres.pdf > 1e-6) & ((gres.flags & BSDF.GLOSSY) != 0)
+            lum_g = jnp.where(g_ok, luminance(g_col3), 0.0)
+        else:
+            lum_g = jnp.zeros(n, jnp.float32)
+        total = lum_refl + lum_refr + lum_g
         cont = live & (~is_diffuse) & (total > 1e-7)
-        r = qmc.scr_halton(2 * depth + 5,
-                           pixel_sample.astype(jnp.uint32) + sampling_offs)
-        p_refl = jnp.where(total > 0, lum_refl / jnp.maximum(total, 1e-20),
-                           0.0)
+        r = qmc.scr_halton(2 * depth + 5, u32)
+        inv_total = 1.0 / jnp.maximum(total, 1e-20)
+        p_refl = lum_refl * inv_total
+        p_refr = lum_refr * inv_total
         take_refl = (r < p_refl) & spec.refl_valid
+        take_refr = (~take_refl) & (r < p_refl + p_refr) & spec.refr_valid
+        take_gloss = cont & (~take_refl) & (~take_refr) & (lum_g > 0.0)
         bcol = jnp.where(take_refl[..., None], spec.refl_col, spec.refr_col)
         bdir = jnp.where(take_refl[..., None], spec.refl_dir, spec.refr_dir)
-        bp = jnp.where(take_refl, p_refl, 1.0 - p_refl)
+        bp = jnp.where(take_refl, p_refl,
+                       jnp.where(take_refr, p_refr,
+                                 jnp.maximum(lum_g * inv_total, 0.0)))
+        if glossy:
+            bdir = jnp.where(take_gloss[..., None], gres.wi, bdir)
+            bcol = jnp.where(take_gloss[..., None], g_col3, bcol)
+        took = take_refl | take_refr | take_gloss
+        cont = cont & took
         throughput = jnp.where(cont[..., None],
                                throughput * bcol
                                / jnp.maximum(bp, 1e-6)[..., None],
                                throughput)
+        include_lights = jnp.where(cont, take_refl | take_refr,
+                                   include_lights)
         done = done | (live & (~is_diffuse) & (~cont))
         cur_rays = Rays(o=sp.p, d=bdir, tmin=jnp.full(n, MIN_RAYDIST),
                         tmax=jnp.full(n, -1.0))
@@ -185,7 +219,7 @@ def render_sppm(scene, opts: SPPMOptions, verbose=False,
         ppos, ppow, pdir, pok = pmap_mod.shoot_photons(
             scene, types_present, opts.photons, opts.bounces,
             seed=jnp.uint32(7) + pass_idx.astype(jnp.uint32) * jnp.uint32(9176),
-            caustic_only=False, scene_center=center,
+            mode="sppm", scene_center=center,
             scene_radius=world_r)
         grid = pmap_mod.build_photon_grid(ppos, ppow, pdir, pok, r0,
                                           bmin, bmax)
@@ -247,7 +281,11 @@ def render_sppm(scene, opts: SPPMOptions, verbose=False,
 
 def _gather_flat(pmap, q, qn, radius, r_max):
     """Radius gather with per-query radii and NO kernel weight (flat SPPM
-    estimator); cell size is r_max >= radius so 27 cells suffice."""
+    estimator); cell size is r_max >= radius so 27 cells suffice.  Cells
+    denser than MAX_PER_CELL are subsampled with k/m compensation (see
+    photon/map.py gather_photons — unbiased, photons are emission-ordered
+    within a cell); count is the compensated float estimate so the SPPM
+    radius refinement sees the true local density."""
     nx, ny, nz = pmap.dims
     rel = (q - pmap.bmin[None]) * pmap.inv_cell
     ix = jnp.clip(rel[..., 0].astype(jnp.int32), 0, nx - 1)
@@ -255,7 +293,7 @@ def _gather_flat(pmap, q, qn, radius, r_max):
     iz = jnp.clip(rel[..., 2].astype(jnp.int32), 0, nz - 1)
     r2 = radius * radius
     flux = jnp.zeros(q.shape, jnp.float32)
-    count = jnp.zeros(q.shape[:-1], jnp.int32)
+    count = jnp.zeros(q.shape[:-1], jnp.float32)
     n_photons = pmap.order.shape[0]
     for dxc in (-1, 0, 1):
         for dyc in (-1, 0, 1):
@@ -265,6 +303,10 @@ def _gather_flat(pmap, q, qn, radius, r_max):
                     + jnp.clip(iz + dzc, 0, nz - 1)
                 start = pmap.cell_start[cid]
                 end = pmap.cell_start[cid + 1]
+                in_cell_n = (end - start).astype(jnp.float32)
+                comp = jnp.maximum(in_cell_n, 1.0) \
+                    / jnp.minimum(jnp.maximum(in_cell_n, 1.0),
+                                  float(pmap_mod.MAX_PER_CELL))
 
                 def body(k, carry):
                     flux, count = carry
@@ -275,9 +317,10 @@ def _gather_flat(pmap, q, qn, radius, r_max):
                     d2 = jnp.sum(dvec * dvec, axis=-1)
                     facing = jnp.sum(pmap.dirn[pid] * qn, axis=-1) < 0.0
                     ok = in_cell & (d2 < r2) & facing & pmap.valid[pid]
-                    flux = flux + jnp.where(ok[..., None], pmap.power[pid],
-                                            0.0)
-                    count = count + ok.astype(jnp.int32)
+                    flux = flux + jnp.where(ok[..., None],
+                                            pmap.power[pid]
+                                            * comp[..., None], 0.0)
+                    count = count + jnp.where(ok, comp, 0.0)
                     return flux, count
 
                 flux, count = jax.lax.fori_loop(0, pmap_mod.MAX_PER_CELL,

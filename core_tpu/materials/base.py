@@ -107,6 +107,11 @@ class MaterialDef:
     blend_tex: int = -1
     sigma_s: tuple = (0.0, 0.0, 0.0)   # translucent SSS scattering coeff
     sss_g: float = 0.0                 # translucent SSS phase anisotropy
+    # glass/rough_glass fake_shadows (glass.cc:57 fakeShadow, default
+    # false): when set, shadow rays filter through instead of being
+    # blocked and the refract sample reports BSDF_FILTER (keeping photons
+    # "direct" in the photon flag machine, photonintegr.cc:320)
+    fake_shadows: bool = False
     name: str = ""
 
     def bsdf_flags(self) -> int:
@@ -137,11 +142,17 @@ class MaterialDef:
             if t == MatType.COATED_GLOSSY:
                 f |= BSDF.SPECULAR
         elif t == MatType.GLASS:
-            f = BSDF.ALL_SPECULAR | BSDF.FILTER
+            # FILTER only with fake_shadows (glass.cc:60-62: bsdfFlags =
+            # ALL_SPECULAR, |= FILTER if fakeShadow)
+            f = BSDF.ALL_SPECULAR
+            if self.fake_shadows:
+                f |= BSDF.FILTER
             if self.dispersion > 0.0:
                 f |= BSDF.DISPERSIVE
         elif t == MatType.ROUGH_GLASS:
-            f = BSDF.GLOSSY | BSDF.REFLECT | BSDF.TRANSMIT | BSDF.FILTER
+            f = BSDF.GLOSSY | BSDF.REFLECT | BSDF.TRANSMIT
+            if self.fake_shadows:
+                f |= BSDF.FILTER  # roughglass.cc:34-35
         elif t == MatType.TRANSLUCENT:
             f = BSDF.DIFFUSE | BSDF.GLOSSY | BSDF.REFLECT | BSDF.TRANSLUCENT
         else:  # BLEND / MASK: union resolved at dispatch

@@ -72,8 +72,13 @@ def _glass_sample(p, sp, wo, s1, s2, req_flags):
                     jnp.where(tir[..., None], jnp.ones_like(rcol), rcol))
     pdf = jnp.where(take_refract, p_kt, jnp.where(tir, 1.0, p_kr))
     valid = take_refract | want_refl
-    flags = jnp.where(take_refract,
-                      BSDF.FILTER | BSDF.TRANSMIT,
+    # refract sampledFlags = tmFlags (glass.cc:147): FILTER|TRANSMIT with
+    # fake_shadows, else SPECULAR|TRANSMIT — the distinction drives the
+    # photon direct/caustic flag machine (photonintegr.cc:318-320)
+    fake = (p.flags & BSDF.FILTER) != 0
+    refr_flags = jnp.where(fake, BSDF.FILTER | BSDF.TRANSMIT,
+                           BSDF.SPECULAR | BSDF.TRANSMIT)
+    flags = jnp.where(take_refract, refr_flags,
                       BSDF.SPECULAR | BSDF.REFLECT).astype(jnp.int32)
     pdf = jnp.where(valid, pdf, 0.0)
     col = jnp.where(valid[..., None], col, 0.0)

@@ -43,7 +43,7 @@ class PhotonMap(NamedTuple):
 
 
 def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
-                  seed: int, caustic_only: bool,
+                  seed: int, mode: str,
                   scene_center, scene_radius, with_surface: bool = False):
     """Trace a photon wavefront; returns per-deposit arrays
     (pos, power, dirn, valid) of shape [(max_bounces+1) * n_photons, ...].
@@ -51,10 +51,35 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
     data the radiance-map precompute needs (photonintegr.cc:574
     radiancePhoton gathering evaluates the deposit surface's BRDF).
 
+    mode selects the deposit rule via the reference's per-photon
+    direct/caustic flag state machine (photonintegr.cc:253-254,318-320;
+    sppm.cc:387-403,433-434).  Flags start direct=True, caustic=False and
+    update after every scatter with sampled flags f:
+        caustic' = (f & (GLOSSY|SPECULAR|DISPERSIVE)) & direct
+                 | (f & (GLOSSY|SPECULAR|FILTER|DISPERSIVE)) & caustic
+        direct'  = (f & FILTER) & direct
+    Deposit conditions:
+      "diffuse": DIFFUSE surface & !caustic           (photonintegr.cc:285;
+                 direct photons ARE stored — final gather consumes them at
+                 secondary hits)
+      "caustic": (DIFFUSE|GLOSSY) surface & caustic   (mcintegrator.cc:309-
+                 312; photons that are neither caustic nor direct die,
+                 mcintegrator.cc:339)
+      "sppm":    !direct & (!caustic & DIFFUSE
+                            | caustic & (DIFFUSE|GLOSSY))  (sppm.cc:387,403
+                 — direct light is estimated by the SPPM eye pass, so
+                 direct photons must NOT enter the map)
+
+    Photon power is additionally attenuated through absorbing interiors
+    (Beer; the reference routes this through the material volume handler
+    at photonintegr.cc:270-276) and dispersive scatters go monochromatic
+    with a per-photon wavelength (photonintegr.cc:472-479).
+
     Light choice: uniform over scene lights with 1/k pdf compensation (the
     reference picks by a power CDF, photonintegr.cc:160; uniform keeps the
     build jit-only — documented deviation, same expectation).
     """
+    assert mode in ("diffuse", "caustic", "sppm"), mode
     n_lights = len(scene.lights)
     assert n_lights > 0
     # seed may be a traced scalar (SPPM threads its pass index in so each
@@ -85,7 +110,14 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
     # photon power (mcintegrator.cc:262): col * ipdf * nLights / nPhotons
     power = col * (ipdf * n_lights / n_photons)[..., None]
     alive = jnp.ones(n_photons, bool)
-    had_specular = jnp.zeros(n_photons, bool)
+    direct = jnp.ones(n_photons, bool)     # photonintegr.cc:254
+    caustic = jnp.zeros(n_photons, bool)   # photonintegr.cc:253
+
+    # per-photon wavelength for dispersive scatters (photonintegr.cc:472)
+    from core_tpu.materials.base import MatType as _MT
+    disperse_possible = int(_MT.GLASS) in [int(t) for t in types_present]
+    chromatic = jnp.zeros(n_photons, bool)
+    wl = qmc.scr_halton(47, base)
 
     dep_pos, dep_pow, dep_dir, dep_ok = [], [], [], []
     dep_nrm, dep_alb = [], []
@@ -98,9 +130,25 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
         sp = scene_mod.surface_points(scene, rays, hits)
         p = scene_mod.material_params(scene, sp)
         wo = -rays.d
+        # Beer attenuation through absorbing interiors: a backface hit
+        # means the segment just traveled ran inside the hit object (the
+        # reference asks the previous material's volume handler,
+        # photonintegr.cc:270-276; equivalent for closed single-material
+        # objects)
+        if bounce > 0:
+            inside = jnp.sum(sp.ng * wo, axis=-1) < 0.0
+            att = jnp.exp(-p.absorption * hits.t[..., None])
+            power = jnp.where((alive & inside)[..., None], power * att,
+                              power)
         is_diffuse = (p.flags & BSDF.DIFFUSE) != 0
-        deposit = alive & is_diffuse & (
-            had_specular if caustic_only else jnp.ones_like(alive))
+        has_dg = (p.flags & (BSDF.DIFFUSE | BSDF.GLOSSY)) != 0
+        if mode == "diffuse":
+            deposit = alive & is_diffuse & (~caustic)
+        elif mode == "caustic":
+            deposit = alive & has_dg & caustic
+        else:  # sppm
+            deposit = alive & (~direct) & (
+                ((~caustic) & is_diffuse) | (caustic & has_dg))
         dep_pos.append(sp.p)
         dep_pow.append(power)
         dep_dir.append(rays.d)
@@ -115,6 +163,11 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
 
         if bounce == max_bounces:
             break
+        # dispersion: Cauchy IOR + one-shot wl2rgb on dispersive glass
+        # (photonintegr.cc:472-479 chromatic handling)
+        if disperse_possible:
+            from core_tpu.integrators.raytrace import apply_dispersion
+            p, chromatic, power = apply_dispersion(p, chromatic, wl, power)
         # scatter (material_t::scatterPhoton default MC, material.cc:77)
         bs1 = qmc.scr_halton(5 + 2 * bounce, base)
         bs2 = qmc.scr_halton(6 + 2 * bounce, base)
@@ -128,9 +181,18 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
         rr = qmc.scr_halton(7 + 2 * bounce, base)
         alive = alive & (sres.pdf > 0) & (rr < keep_p)
         power = new_power / keep_p[..., None]
-        spec_bounce = (sres.flags & (BSDF.SPECULAR | BSDF.GLOSSY
-                                     | BSDF.FILTER | BSDF.DISPERSIVE)) != 0
-        had_specular = had_specular | (alive & spec_bounce)
+        # flag transitions (photonintegr.cc:318-320)
+        f = sres.flags
+        caus_set = (f & (BSDF.GLOSSY | BSDF.SPECULAR
+                         | BSDF.DISPERSIVE)) != 0
+        caus_keep = (f & (BSDF.GLOSSY | BSDF.SPECULAR | BSDF.FILTER
+                          | BSDF.DISPERSIVE)) != 0
+        caustic = (caus_set & direct) | (caus_keep & caustic)
+        direct = ((f & BSDF.FILTER) != 0) & direct
+        if mode == "caustic":
+            # caustic-only shoot can stop once neither flag holds
+            # (mcintegrator.cc:339)
+            alive = alive & (caustic | direct)
         rays = Rays(o=sp.p, d=sres.wi,
                     tmin=jnp.full(n_photons, MIN_RAYDIST),
                     tmax=jnp.full(n_photons, -1.0))
@@ -184,7 +246,14 @@ def gather_photons(pmap: PhotonMap, q, qn, radius: float,
     Returns (flux_sum [N,3], count [N]) — kernel-weighted flux of photons
     within `radius` whose direction opposes the surface normal (same
     filtering as photonIntegrator_t::integrate, photonintegr.cc:791-860).
-    Density cap: at most max_per_cell photons per cell are inspected.
+
+    Density cap: at most max_per_cell photons per cell are inspected, but
+    each inspected photon's contribution is scaled by k/m (k = photons in
+    the cell, m = inspected) — an unbiased subsample compensation: photon
+    order within a cell is the emission order, independent of position,
+    so the first m are a random sample.  Without it, dense maps (say 200k
+    photons at radius 40 in a Cornell box: ~2,400 photons/cell) would
+    undercount flux ~5-8x.
     """
     nx, ny, nz = pmap.dims
     rel = (q - pmap.bmin[None]) * pmap.inv_cell
@@ -193,7 +262,7 @@ def gather_photons(pmap: PhotonMap, q, qn, radius: float,
     iz = jnp.clip(rel[..., 2].astype(jnp.int32), 0, nz - 1)
     r2 = radius * radius
     flux = jnp.zeros(q.shape, jnp.float32)
-    count = jnp.zeros(q.shape[:-1], jnp.int32)
+    count = jnp.zeros(q.shape[:-1], jnp.float32)
     n_photons = pmap.order.shape[0]
     for dxc in (-1, 0, 1):
         for dyc in (-1, 0, 1):
@@ -204,6 +273,11 @@ def gather_photons(pmap: PhotonMap, q, qn, radius: float,
                 cid = (cx * ny + cy) * nz + cz
                 start = pmap.cell_start[cid]
                 end = pmap.cell_start[cid + 1]
+                in_cell_n = (end - start).astype(jnp.float32)
+                # unbiased subsample compensation (docstring)
+                comp = jnp.maximum(in_cell_n, 1.0) \
+                    / jnp.minimum(jnp.maximum(in_cell_n, 1.0),
+                                  float(max_per_cell))
 
                 def body(k, carry):
                     flux, count = carry
@@ -216,16 +290,16 @@ def gather_photons(pmap: PhotonMap, q, qn, radius: float,
                     facing = jnp.sum(pmap.dirn[pid] * qn, axis=-1) < 0.0
                     ok = in_cell & (d2 < r2) & facing & pmap.valid[pid]
                     # ckernel quadratic kernel (sample_utils.h:184)
-                    w = 3.0 / (r2 * np.pi) * (1.0 - d2 / r2)
+                    w = 3.0 / (r2 * np.pi) * (1.0 - d2 / r2) * comp
                     flux = flux + jnp.where(ok[..., None],
                                             pmap.power[pid] * w[..., None],
                                             0.0)
-                    count = count + ok.astype(jnp.int32)
+                    count = count + jnp.where(ok, comp, 0.0)
                     return flux, count
 
                 flux, count = jax.lax.fori_loop(0, max_per_cell, body,
                                                 (flux, count))
-    return flux, count
+    return flux, count.astype(jnp.int32)
 
 
 def estimate_irradiance(pmap: PhotonMap, q, qn, radius: float):

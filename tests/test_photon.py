@@ -47,7 +47,7 @@ def test_photon_shoot_deposits_energy():
     center = jnp.asarray(0.5 * (bmin + bmax), jnp.float32)
     radius = float(0.5 * np.linalg.norm(bmax - bmin))
     pos, pw, dr, ok = pmap_mod.shoot_photons(
-        scene, types, 4096, 3, seed=0, caustic_only=False,
+        scene, types, 4096, 3, seed=0, mode="diffuse",
         scene_center=center, scene_radius=radius)
     ok = np.asarray(ok)
     # first segment: nearly every photon's first hit is a diffuse wall
@@ -146,7 +146,7 @@ def test_sppm_photons_fresh_each_pass():
     deps = []
     for s in seeds:
         pos, pw, dr, ok = pmap_mod.shoot_photons(
-            scene, types, 1024, 2, seed=s, caustic_only=False,
+            scene, types, 1024, 2, seed=s, mode="diffuse",
             scene_center=center, scene_radius=radius)
         deps.append(np.asarray(pos)[np.asarray(ok)])
     # different passes deposit at different positions
