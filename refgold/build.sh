@@ -31,6 +31,9 @@ compile $REF/src/interface/yafrayinterface.cc iface.o
 
 compile $REF/src/integrators/directlight.cc p_directlight.o -DregisterPlugin=registerPlugin_directlight
 compile $REF/src/integrators/pathtracer.cc p_pathtracer.o -DregisterPlugin=registerPlugin_pathtracer
+compile $REF/src/integrators/photonintegr.cc p_photonintegr.o -DregisterPlugin=registerPlugin_photonmapping
+compile $REF/src/integrators/sppm.cc p_sppm.o -DregisterPlugin=registerPlugin_sppm
+compile $REF/src/integrators/bidirpath.cc p_bidirpath.o -DregisterPlugin=registerPlugin_bidirectional
 compile $REF/src/integrators/EmptyVolumeIntegrator.cc p_emptyvol.o -DregisterPlugin=registerPlugin_emptyvol
 compile $REF/src/materials/shinydiffuse.cc p_shinydiffuse.o -DregisterPlugin=registerPlugin_shinydiffuse
 compile $REF/src/materials/simple.cc p_simplemat.o -DregisterPlugin=registerPlugin_simplemat

@@ -26,6 +26,9 @@ using namespace yafaray;
 extern "C" {
 void registerPlugin_directlight(renderEnvironment_t &);
 void registerPlugin_pathtracer(renderEnvironment_t &);
+void registerPlugin_photonmapping(renderEnvironment_t &);
+void registerPlugin_sppm(renderEnvironment_t &);
+void registerPlugin_bidirectional(renderEnvironment_t &);
 void registerPlugin_emptyvol(renderEnvironment_t &);
 void registerPlugin_shinydiffuse(renderEnvironment_t &);
 void registerPlugin_simplemat(renderEnvironment_t &);
@@ -113,6 +116,9 @@ int main(int argc, char **argv) {
     renderEnvironment_t *env = yi.getEnv();
     registerPlugin_directlight(*env);
     registerPlugin_pathtracer(*env);
+    registerPlugin_photonmapping(*env);
+    registerPlugin_sppm(*env);
+    registerPlugin_bidirectional(*env);
     registerPlugin_emptyvol(*env);
     registerPlugin_shinydiffuse(*env);
     registerPlugin_simplemat(*env);
@@ -249,6 +255,28 @@ int main(int argc, char **argv) {
         yi.paramsSetInt("bounces", argc > 7 ? atoi(argv[7]) : 3);
         yi.paramsSetBool("no_recursive", false);
         yi.paramsSetString("caustic_type", "path");
+    } else if (integ == "photonmapping") {
+        // argv[6]=photons argv[7]=bounces argv[9]=fg_samples
+        yi.paramsSetInt("photons", argc > 6 ? atoi(argv[6]) : 100000);
+        yi.paramsSetInt("cPhotons", argc > 6 ? atoi(argv[6]) : 100000);
+        yi.paramsSetInt("bounces", argc > 7 ? atoi(argv[7]) : 4);
+        yi.paramsSetFloat("diffuseRadius", 40.0);
+        yi.paramsSetFloat("causticRadius", 30.0);
+        yi.paramsSetInt("search", 200);
+        yi.paramsSetInt("caustic_mix", 100);
+        yi.paramsSetBool("finalGather", true);
+        yi.paramsSetInt("fg_samples", argc > 9 ? atoi(argv[9]) : 8);
+        yi.paramsSetInt("fg_bounces", 1);
+    } else if (integ == "SPPM") {
+        // argv[6]=photons-per-pass argv[7]=passes
+        yi.paramsSetInt("photons", argc > 6 ? atoi(argv[6]) : 100000);
+        yi.paramsSetInt("passNums", argc > 7 ? atoi(argv[7]) : 8);
+        yi.paramsSetInt("bounces", 4);
+        yi.paramsSetFloat("photonRadius", 40.0);
+        yi.paramsSetInt("searchNum", 100);
+        yi.paramsSetBool("pmIRE", false);
+    } else if (integ == "bidirectional") {
+        yi.paramsSetBool("do_LightImage", false);
     }
     yi.createIntegrator("surfinteg");
     yi.paramsClearAll();

@@ -16,6 +16,7 @@
 #define yendl std::endl
 
 #define HAVE_UNISTD_H 1
+#define HAVE_PTHREAD 1
 
 __BEGIN_YAFRAY
 typedef float CFLOAT;
