@@ -57,6 +57,22 @@ class PathOptions:
     ao_samples: int = 32
     ao_dist: float = 1.0
     ao_color: tuple = (1.0, 1.0, 1.0)
+    # indirect paths at camera-visible specular/glossy chain vertices: the
+    # reference re-enters the full integrate() behind mirrors/glass
+    # (recursion at mcintegrator.cc:421-628 -> pathtracer.cc:134 with
+    # nSamples = max(1, nPaths/state.rayDivision), pathtracer.cc:196).
+    # 0 = use path_samples (faithful); -1 disables (round-3 behavior:
+    # chain vertices shaded with emission + direct light only)
+    chain_path_samples: int = 0
+    # wavefront folding (TPU compaction): every fold_interval bounces
+    # (starting at depth fold_interval) the path wavefront is HALVED by
+    # pairing lane i with lane i+N/2 and keeping one survivor — the alive
+    # one, or a stochastic pick with x2 throughput when both are alive
+    # (exactly unbiased: E[pair tail] is preserved).  Pure elementwise
+    # slicing, no gathers/sorts — the TPU answer to path compaction.
+    # 0 = off.  Folding trades a little tail variance for tracing half
+    # (quarter, ...) the lanes at deep bounces.
+    fold_interval: int = 0
 
 
 def _eval_background_s(background, d3):
@@ -92,8 +108,44 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
 
     path_col = zeros3(offs)
     throughput = None
+    folds = []   # (pick_a mask, frozen path_col) per wavefront halving
 
     for depth in range(opts.bounces):
+        # wavefront fold (PathOptions.fold_interval): halve the live
+        # wavefront by pairing lane i with lane i+half; exactly unbiased
+        # (see option docstring), all elementwise — no gathers.
+        if opts.fold_interval > 0 and depth > 0 \
+                and depth % opts.fold_interval == 0 \
+                and offs.shape[0] % 2 == 0 and offs.shape[0] >= 256:
+            h = offs.shape[0] // 2
+
+            def _a(x):
+                return x[:h]
+
+            def _b(x):
+                return x[h:]
+
+            alive_a, alive_b = _a(active), _b(active)
+            r_pick = qmc.scr_halton(41 + depth, _a(offs) + _b(offs))
+            pick_a = alive_a & ((~alive_b) | (r_pick < 0.5))
+            both = alive_a & alive_b
+
+            def fold1(x):
+                return jnp.where(pick_a, _a(x), _b(x))
+
+            def fold_tree(t):
+                return jax.tree_util.tree_map(fold1, t)
+
+            sp, p, wo = fold_tree(sp), fold_tree(p), fold_tree(wo)
+            w2 = jnp.where(both, 2.0, 1.0)
+            throughput = jax.tree_util.tree_map(
+                lambda c: fold1(c) * w2, throughput)
+            offs = fold1(offs)
+            pixel_sample_b = fold1(pixel_sample_b)
+            sampling_offs_b = fold1(sampling_offs_b)
+            active = alive_a | alive_b
+            folds.append((pick_a, path_col))
+            path_col = zeros3(offs)
         if depth == 0:
             s1 = qmc.ri_vdc(offs)
             s2 = qmc.scr_halton(2, offs)
@@ -166,6 +218,18 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
             lcol = lcol + where3(emit_mask, emit_c, 0.0)
         path_col = path_col + where3(active, lcol * throughput, 0.0)
 
+    # unwind the wavefront folds: scatter each folded accumulation back to
+    # the surviving lane's original slot (elementwise expand, no gathers)
+    for pick_a, frozen in reversed(folds):
+        up = vec.V3(
+            jnp.concatenate([jnp.where(pick_a, path_col.x, 0.0),
+                             jnp.where(~pick_a, path_col.x, 0.0)]),
+            jnp.concatenate([jnp.where(pick_a, path_col.y, 0.0),
+                             jnp.where(~pick_a, path_col.y, 0.0)]),
+            jnp.concatenate([jnp.where(pick_a, path_col.z, 0.0),
+                             jnp.where(~pick_a, path_col.z, 0.0)]))
+        path_col = frozen + up
+
     return untile_sum3(path_col, n_paths) * (1.0 / float(n_paths))
 
 
@@ -231,16 +295,22 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
     alpha = jnp.where(primary_valid, 1.0,
                       0.0 if opts.transp_background else 1.0)
 
-    # camera-visible specular/glossy chains: the shared recursiveRaytrace
-    # (chain hits are shaded with emission — gated to specular branches —
-    # plus MIS direct light; deeper indirect at chain vertices is a
-    # documented deviation: the reference re-enters integrate() there)
+    # camera-visible specular/glossy chains: the shared recursiveRaytrace.
+    # Chain hits get emission (gated to specular branches) + MIS direct
+    # light + their own batched indirect paths — the reference re-enters
+    # the full integrate() there (mcintegrator.cc:421-628 ->
+    # pathtracer.cc:134); chain_path_samples trades chain-vertex variance
+    # for wavefront cost.
     from core_tpu.integrators import raytrace
     chain = (scene.has_specular or raytrace.has_glossy(types_present)) \
         and opts.raydepth > 0 and not opts.no_recursive
     if chain:
         sp_a = vec.sp_to_aos(sp)
         p_a = dispatch._params_to_aos(p)
+        n_chain = opts.chain_path_samples
+        if n_chain == 0:
+            n_chain = max(1, opts.path_samples)
+        chain_depth = [0]
 
         def shade_fn(nrays, nhits, include_lights, act):
             nsp = scene_mod.surface_points(scene, nrays, nhits)
@@ -254,6 +324,18 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
             scol = scol + common.estimate_all_direct(
                 scene, types_present, np_, nsp, nwo, pixel_sample,
                 sampling_offs, act & nhas_diff)
+            if n_chain > 0 and opts.bounces > 0:
+                d = chain_depth[0]
+                chain_depth[0] += 1
+                from core_tpu.materials.base import params_to_soa
+                ind = _paths_batched(
+                    scene, types_present, vec.sp_to_soa(nsp),
+                    params_to_soa(np_), vec.v3(nwo), act & nhas_diff,
+                    n_chain, pixel_sample.astype(jnp.uint32),
+                    # decorrelate each chain depth's QMC stream from the
+                    # primary paths and from each other
+                    sampling_offs + np.uint32(7919 * (d + 1)), opts)
+                scol = scol + vec.aos(ind)
             return scol, nsp, np_
 
         spec = raytrace.recursive_raytrace(
