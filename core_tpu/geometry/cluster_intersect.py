@@ -68,15 +68,21 @@ class ClusterData(NamedTuple):
                             # (id stored as f32 -- exact below 2^24 tris;
                             # a 2-D i32 side table would violate the
                             # pallas (8,128)-divisibility block rule)
+    grouped: "GroupedData" = None   # v2 two-level data for big scenes
 
     @property
     def n_clusters(self) -> int:
         return self.aabb.shape[0]
 
 
+GROUPED_MIN_CLUSTERS = 1024     # flat sweep below this (~260k tris)
+
+
 def build_clusters(verts: np.ndarray, tri_vidx: np.ndarray,
                    max_leaf: int = CLUSTER) -> ClusterData:
-    """Axis-median recursive partition into <=max_leaf-tri clusters."""
+    """Axis-median recursive partition into <=max_leaf-tri clusters.
+    Above GROUPED_MIN_CLUSTERS the two-level grouped data (v2 kernel,
+    conditional DMA) is attached and used automatically."""
     verts = np.asarray(verts, np.float32)
     tri_vidx = np.asarray(tri_vidx, np.int32)
     v0 = verts[tri_vidx[:, 0]]
@@ -115,7 +121,10 @@ def build_clusters(verts: np.ndarray, tri_vidx: np.ndarray,
         tris[ci, :k, 3:6] = v1[ids] - v0[ids]
         tris[ci, :k, 6:9] = v2[ids] - v0[ids]
         tris[ci, :k, 9] = ids.astype(np.float32)
-    return ClusterData(aabb=jnp.asarray(aabb), tris=jnp.asarray(tris))
+    cl = ClusterData(aabb=jnp.asarray(aabb), tris=jnp.asarray(tris))
+    if C >= GROUPED_MIN_CLUSTERS:
+        cl = cl._replace(grouped=group_clusters(cl))
+    return cl
 
 
 def _slab_test(aabb_ref, c, ox, oy, oz, dx, dy, dz, tmin, tcap):
@@ -411,9 +420,15 @@ def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
                  + [rows(v.y) for v in dirs]
                  + [rows(v.z) for v in dirs])
     tcap_rows = [rows(jnp.where(t > 0, t, BIG), fill=-1.0) for t in tcaps]
-    hits = _run_clusters_any_nee(cl.aabb, cl.tris, shared, dirs_flat,
-                                 tcap_rows, cl.n_clusters, K,
-                                 interpret=interpret)
+    if cl.grouped is not None:
+        gd = cl.grouped
+        hits = _run_grouped_nee(gd.g_aabb, gd.c_aabb, gd.tris, shared,
+                                dirs_flat, tcap_rows, gd.g_aabb.shape[0],
+                                K, interpret=interpret)
+    else:
+        hits = _run_clusters_any_nee(cl.aabb, cl.tris, shared, dirs_flat,
+                                     tcap_rows, cl.n_clusters, K,
+                                     interpret=interpret)
     return jnp.concatenate([h.reshape(-1)[:n] for h in hits]) > 0
 
 
@@ -491,6 +506,10 @@ def _prep_soa(rays_s, exclude_prim, exclude_prim2):
 
 def closest_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
                            exclude_prim2=None, interpret=False) -> Hits:
+    if cl.grouped is not None:
+        return closest_hit_grouped_s(cl, rays_s, exclude_prim=exclude_prim,
+                                     exclude_prim2=exclude_prim2,
+                                     interpret=interpret)
     comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
     t, prim, u, v = _run_clusters(cl.aabb, cl.tris, comps, cl.n_clusters,
                                   interpret=interpret)
@@ -503,7 +522,361 @@ def closest_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
 
 def any_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
                        exclude_prim2=None, interpret=False):
+    if cl.grouped is not None:
+        h = closest_hit_grouped_s(cl, rays_s, exclude_prim=exclude_prim,
+                                  exclude_prim2=exclude_prim2,
+                                  interpret=interpret)
+        return h.prim >= 0
     comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
     (hit,) = _run_clusters_any(cl.aabb, cl.tris, comps, cl.n_clusters,
                                interpret=interpret)
     return hit.reshape(-1)[:n] > 0
+
+
+# ---------------------------------------------------------------------------
+# v2: grouped cluster sweep with conditional DMA (multi-million-tri scenes)
+# ---------------------------------------------------------------------------
+#
+# The flat sweep pays (DMA + AABB slab) for EVERY cluster per ray tile:
+# at 1M tris (3,907 clusters) that is ~40 MB of streamed triangle blocks
+# and ~3,907 slab tests per tile regardless of hits — the "grid collapse"
+# the v1 header predicted.  v2 adds a second level: clusters are grouped
+# into GROUP consecutive siblings of the recursive-median build (spatially
+# coherent by construction), the kernel grid becomes (tile, group), and
+#   - the group AABB is slab-tested first; a miss skips all GROUP
+#     clusters (no DMA, no per-cluster slabs);
+#   - each surviving cluster is slab-tested, and only on a pass is its
+#     10 KB triangle block DMA'd HBM -> SMEM scratch
+#     (pltpu.make_async_copy) and intersected.
+# Triangle data lives in HBM (memory_space ANY) — nothing streams
+# unconditionally.
+
+GROUP = 64              # clusters per group
+
+
+class GroupedData(NamedTuple):
+    g_aabb: jnp.ndarray     # [G, 8] group AABBs
+    c_aabb: jnp.ndarray     # [G, GROUP, 8] cluster AABBs (pads inverted)
+    tris: jnp.ndarray       # [G * GROUP, 16, CLUSTER] HBM-resident,
+                            # field-major (v0 xyz, e1 xyz, e2 xyz, id,
+                            # 6 pad rows): the manual-DMA slice must be
+                            # (8,128)-tile aligned in its last two dims
+
+
+def group_clusters(cl: ClusterData, group: int = GROUP) -> GroupedData:
+    """Host-side: pad clusters to a multiple of `group` and take group
+    AABBs over consecutive build-order runs (recursive-median order keeps
+    siblings adjacent, so consecutive runs are spatially tight)."""
+    aabb = np.asarray(cl.aabb)
+    tris = np.asarray(cl.tris)
+    C = aabb.shape[0]
+    pad = (-C) % group
+    if pad:
+        inv = np.zeros((pad, 8), np.float32)
+        inv[:, 0:3] = BIG
+        inv[:, 3:6] = -BIG           # inverted box: slab test never passes
+        aabb = np.concatenate([aabb, inv], axis=0)
+        tpad = np.zeros((pad, tris.shape[1], 10), np.float32)
+        tpad[:, :, 9] = -1.0
+        tris = np.concatenate([tris, tpad], axis=0)
+    # [Cpad, CLUSTER, 10] -> field-major [Cpad, 16, CLUSTER]
+    tris_fm = np.zeros((tris.shape[0], 16, tris.shape[1]), np.float32)
+    tris_fm[:, :10, :] = np.swapaxes(tris, 1, 2)
+    tris = tris_fm
+    G = aabb.shape[0] // group
+    c_aabb = aabb.reshape(G, group, 8)
+    g_aabb = np.zeros((G, 8), np.float32)
+    g_aabb[:, 0:3] = c_aabb[:, :, 0:3].min(axis=1)
+    g_aabb[:, 3:6] = c_aabb[:, :, 3:6].max(axis=1)
+    return GroupedData(g_aabb=jnp.asarray(g_aabb),
+                       c_aabb=jnp.asarray(c_aabb),
+                       tris=jnp.asarray(tris))
+
+
+def _slab_test_dyn(aabb_ref, g, c, ox, oy, oz, dx, dy, dz, tmin, tcap):
+    """Slab test against aabb_ref[g, c, :] (SMEM, dynamic indices)."""
+    eps = 1e-20
+
+    def axis_int(o, d, b0, b1):
+        inv = 1.0 / jnp.where(jnp.abs(d) < eps,
+                              jnp.where(d < 0, -eps, eps), d)
+        q0 = (b0 - o) * inv
+        q1 = (b1 - o) * inv
+        return jnp.minimum(q0, q1), jnp.maximum(q0, q1)
+
+    nx, fx = axis_int(ox, dx, aabb_ref[g, c, 0], aabb_ref[g, c, 3])
+    ny, fy = axis_int(oy, dy, aabb_ref[g, c, 1], aabb_ref[g, c, 4])
+    nz, fz = axis_int(oz, dz, aabb_ref[g, c, 2], aabb_ref[g, c, 5])
+    tn = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, tmin))
+    tf = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, tcap))
+    return tn <= tf
+
+
+def _grouped_kernel(csize: int, group: int,
+                    g_aabb_ref, c_aabb_ref, tri_hbm, ox_ref, oy_ref, oz_ref,
+                    dx_ref, dy_ref, dz_ref, tmin_ref, tcap_ref, ex0_ref,
+                    ex1_ref, t_ref, prim_ref, u_ref, v_ref,
+                    scratch, sem):
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        t_ref[...] = jnp.full((SUB, LANES), BIG, jnp.float32)
+        prim_ref[...] = jnp.full((SUB, LANES), -1, jnp.int32)
+        u_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
+        v_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    tmin = tmin_ref[...]
+    tlim = tcap_ref[...]
+
+    gbox = _slab_test(g_aabb_ref, g, ox, oy, oz, dx, dy, dz, tmin,
+                      jnp.minimum(tlim, t_ref[...]))
+
+    @pl.when(jnp.any(gbox))
+    def _group_body():
+        ex0 = ex0_ref[...]
+        ex1 = ex1_ref[...]
+
+        def cluster_step(ci, carry):
+            bt, bp, bu, bv = carry
+            cbox = _slab_test_dyn(c_aabb_ref, 0, ci, ox, oy, oz,
+                                  dx, dy, dz, tmin,
+                                  jnp.minimum(tlim, bt))
+
+            def hit_cluster(carry):
+                bt, bp, bu, bv = carry
+                cp = pltpu.make_async_copy(
+                    tri_hbm.at[g * group + ci], scratch, sem)
+                cp.start()
+                cp.wait()
+
+                def body(k, c2):
+                    bt, bp, bu, bv = c2
+                    v0x = scratch[0, k]
+                    v0y = scratch[1, k]
+                    v0z = scratch[2, k]
+                    e1x = scratch[3, k]
+                    e1y = scratch[4, k]
+                    e1z = scratch[5, k]
+                    e2x = scratch[6, k]
+                    e2y = scratch[7, k]
+                    e2z = scratch[8, k]
+                    tid = scratch[9, k].astype(jnp.int32)
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    det_ok = jnp.abs(det) > 1e-12
+                    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv_det
+                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
+                        & (u + v <= 1.0) & (t > tmin) & (t < tlim) \
+                        & (t < bt) & (tid != ex0) & (tid != ex1) \
+                        & (tid >= 0) & cbox
+                    bt = jnp.where(ok, t, bt)
+                    bp = jnp.where(ok, tid, bp)
+                    bu = jnp.where(ok, u, bu)
+                    bv = jnp.where(ok, v, bv)
+                    return bt, bp, bu, bv
+
+                return jax.lax.fori_loop(0, csize, body,
+                                         (bt, bp, bu, bv))
+
+            return jax.lax.cond(jnp.any(cbox), hit_cluster,
+                                lambda c: c, carry)
+
+        init = (t_ref[...], prim_ref[...], u_ref[...], v_ref[...])
+        bt, bp, bu, bv = jax.lax.fori_loop(0, group, cluster_step, init)
+        t_ref[...] = bt
+        prim_ref[...] = bp
+        u_ref[...] = bu
+        v_ref[...] = bv
+
+
+def _grouped_specs(n_rays: int, group: int):
+    spec = pl.BlockSpec((SUB, LANES), lambda i, g: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                  # g_aabb
+        pl.BlockSpec((1, group, 8), lambda i, g: (g, 0, 0),
+                     memory_space=pltpu.SMEM),                  # c_aabb
+        pl.BlockSpec(memory_space=pltpu.HBM),                   # tris
+    ] + [spec] * n_rays
+
+
+@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
+def _run_grouped(g_aabb, c_aabb, tris, comps, n_groups: int,
+                 interpret: bool = False):
+    csize = tris.shape[2]
+    group = c_aabb.shape[1]
+    nrows = comps[0].shape[0]
+    return pl.pallas_call(
+        functools.partial(_grouped_kernel, csize, group),
+        grid=(nrows // SUB, n_groups),
+        in_specs=_grouped_specs(10, group),
+        out_specs=[_OUT_SPEC] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((16, csize), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(g_aabb, c_aabb, tris, *comps)
+
+
+def _grouped_nee_kernel(csize: int, group: int, K: int,
+                        g_aabb_ref, c_aabb_ref, tri_hbm, ox_ref, oy_ref,
+                        oz_ref, tmin_ref, ex0_ref, ex1_ref, *rest):
+    """Grouped conditional-DMA variant of the shared-origin NEE sweep."""
+    dxs = rest[0:K]
+    dys = rest[K:2 * K]
+    dzs = rest[2 * K:3 * K]
+    tcaps = rest[3 * K:4 * K]
+    hit_refs = rest[4 * K:5 * K]
+    scratch, sem = rest[5 * K], rest[5 * K + 1]
+    g = pl.program_id(1)
+
+    for k in range(K):
+        @pl.when(g == 0)
+        def _init(k=k):
+            hit_refs[k][...] = jnp.zeros((SUB, LANES), jnp.int32)
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    tmin = tmin_ref[...]
+    d = [(dxs[k][...], dys[k][...], dzs[k][...]) for k in range(K)]
+    tc = [tcaps[k][...] for k in range(K)]
+    live = [hit_refs[k][...] == 0 for k in range(K)]
+
+    gbox_any = None
+    for k in range(K):
+        bh = _slab_test(g_aabb_ref, g, ox, oy, oz, d[k][0], d[k][1],
+                        d[k][2], tmin, tc[k]) & live[k]
+        gbox_any = bh if gbox_any is None else (gbox_any | bh)
+
+    @pl.when(jnp.any(gbox_any))
+    def _group_body():
+        ex0 = ex0_ref[...]
+        ex1 = ex1_ref[...]
+
+        def cluster_step(ci, hits):
+            box_k = []
+            box_any = None
+            for k in range(K):
+                bh = _slab_test_dyn(c_aabb_ref, 0, ci, ox, oy, oz,
+                                    d[k][0], d[k][1], d[k][2], tmin,
+                                    tc[k]) & (hits[k] == 0)
+                box_k.append(bh)
+                box_any = bh if box_any is None else (box_any | bh)
+
+            def hit_cluster(hits):
+                cp = pltpu.make_async_copy(
+                    tri_hbm.at[g * group + ci], scratch, sem)
+                cp.start()
+                cp.wait()
+
+                def body(i, hits):
+                    v0x = scratch[0, i]
+                    v0y = scratch[1, i]
+                    v0z = scratch[2, i]
+                    e1x = scratch[3, i]
+                    e1y = scratch[4, i]
+                    e1z = scratch[5, i]
+                    e2x = scratch[6, i]
+                    e2y = scratch[7, i]
+                    e2z = scratch[8, i]
+                    tid = scratch[9, i].astype(jnp.int32)
+                    tx = ox - v0x
+                    ty = oy - v0y
+                    tz = oz - v0z
+                    m1x = e2y * e1z - e2z * e1y
+                    m1y = e2z * e1x - e2x * e1z
+                    m1z = e2x * e1y - e2y * e1x
+                    wx = e2y * tz - e2z * ty
+                    wy = e2z * tx - e2x * tz
+                    wz = e2x * ty - e2y * tx
+                    qx = ty * e1z - tz * e1y
+                    qy = tz * e1x - tx * e1z
+                    qz = tx * e1y - ty * e1x
+                    tnum = e2x * qx + e2y * qy + e2z * qz
+                    not_excl = (tid != ex0) & (tid != ex1) & (tid >= 0)
+
+                    out = []
+                    for k in range(K):
+                        dx, dy, dz = d[k]
+                        det = dx * m1x + dy * m1y + dz * m1z
+                        s = jnp.where(det < 0.0, -1.0, 1.0)
+                        dd = jnp.abs(det)
+                        un = (dx * wx + dy * wy + dz * wz) * s
+                        vn = (dx * qx + dy * qy + dz * qz) * s
+                        tn = tnum * s
+                        ok = (dd > 1e-12) & (un >= 0.0) & (vn >= 0.0) \
+                            & (un + vn <= dd) & (tn > tmin * dd) \
+                            & (tn < tc[k] * dd) & not_excl & box_k[k]
+                        out.append(hits[k] | ok.astype(jnp.int32))
+                    return tuple(out)
+
+                return jax.lax.fori_loop(0, csize, body, hits)
+
+            return jax.lax.cond(jnp.any(box_any), hit_cluster,
+                                lambda h: h, hits)
+
+        hits = jax.lax.fori_loop(
+            0, group, cluster_step,
+            tuple(hit_refs[k][...] for k in range(K)))
+        for k in range(K):
+            hit_refs[k][...] = hits[k]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_groups", "K", "interpret"))
+def _run_grouped_nee(g_aabb, c_aabb, tris, shared, dirs_flat, tcaps,
+                     n_groups: int, K: int, interpret: bool = False):
+    csize = tris.shape[2]
+    group = c_aabb.shape[1]
+    nrows = shared[0].shape[0]
+    return pl.pallas_call(
+        functools.partial(_grouped_nee_kernel, csize, group, K),
+        grid=(nrows // SUB, n_groups),
+        in_specs=_grouped_specs(6 + 4 * K, group),
+        out_specs=[_OUT_SPEC] * K,
+        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)] * K,
+        scratch_shapes=[
+            pltpu.SMEM((16, csize), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(g_aabb, c_aabb, tris, *shared, *dirs_flat, *tcaps)
+
+
+def closest_hit_grouped_s(cl: ClusterData, rays_s, exclude_prim=None,
+                          exclude_prim2=None, interpret=False) -> Hits:
+    gd = cl.grouped
+    comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
+    t, prim, u, v = _run_grouped(gd.g_aabb, gd.c_aabb, gd.tris, comps,
+                                 gd.g_aabb.shape[0], interpret=interpret)
+    t = t.reshape(-1)[:n]
+    prim = prim.reshape(-1)[:n]
+    miss = prim < 0
+    return Hits(t=jnp.where(miss, -1.0, t), prim=prim,
+                u=u.reshape(-1)[:n], v=v.reshape(-1)[:n])

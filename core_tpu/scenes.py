@@ -206,6 +206,16 @@ def _torus_mesh(a, m, nu, nv, R, r, center, mat):
     return len(faces)
 
 
+def big_scene(resx=1024, resy=1024, ibl_samples=8, sun_samples=4):
+    """BASELINE config #5 scale proof: ~1.02M-triangle scene at 1024^2
+    (977k displaced-terrain tris + 40k torus tris) — the reference's
+    kd-tree handles multi-million-triangle scenes (kdtree.cc); the TPU
+    path is the grouped cluster kernel (cluster_intersect.py v2)."""
+    return mesh_scene(resx=resx, resy=resy, n_grid=700, torus_u=250,
+                      torus_v=80, ibl_samples=ibl_samples,
+                      sun_samples=sun_samples)
+
+
 def mesh_scene(resx=256, resy=256, n_grid=160, torus_u=180, torus_v=64,
                ibl_samples=8, sun_samples=4):
     """Driver config #3: ~100k-triangle mesh scene with texture-mapped
