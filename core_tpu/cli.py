@@ -99,14 +99,16 @@ def main(argv=None) -> int:
             from core_tpu.parallel.distributed import (init_distributed,
                                                        global_mesh)
             init_distributed()
-            from core_tpu.parallel.sharding import render_rowsharded
+            from core_tpu.parallel.sharding import render_image_rowsharded
             mesh = global_mesh()
-            img = render_rowsharded(scene, opts, mesh, spp=opts.aa_samples)
+            img = render_image_rowsharded(scene, opts, mesh,
+                                          verbose=args.verbosity >= 2)
         elif args.devices > 1:
-            from core_tpu.parallel.sharding import make_mesh, render_rowsharded
+            from core_tpu.parallel.sharding import (make_mesh,
+                                                    render_image_rowsharded)
             mesh = make_mesh(args.devices)
-            img = render_rowsharded(scene, opts, mesh,
-                                    spp=opts.aa_samples)
+            img = render_image_rowsharded(scene, opts, mesh,
+                                          verbose=args.verbosity >= 2)
         else:
             from core_tpu.render import render_image
             img, _ = render_image(scene, opts, verbose=args.verbosity >= 2)

@@ -214,8 +214,11 @@ def add_density_samples(film: Film, x, y, col_rgb, n_paths,
     x, y: float pixel coordinates [N]; col_rgb: [N,3]; n_paths: how many
     light paths this wavefront traced (counted whether or not they reached
     the image — imagefilm.cc:612 counts every addDensitySample call, but
-    bidirpath.cc:146 overrides with the true path count at cleanup)."""
-    h, w = film.weight.shape
+    bidirpath.cc:146 overrides with the true path count at cleanup).
+
+    Bounds come from the density buffer's own shape: a row-sharded film
+    may carry a FULL-height density plane next to a row-block rgba."""
+    h, w = film.density.shape[:2]
     px = jnp.floor(x).astype(jnp.int32)
     py = jnp.floor(y).astype(jnp.int32)
     ok = (px >= 0) & (px < w) & (py >= 0) & (py < h)

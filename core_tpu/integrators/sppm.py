@@ -198,62 +198,8 @@ def render_sppm(scene, opts: SPPMOptions, verbose=False,
 
     @jax.jit
     def one_pass(scene, state, pass_idx):
-        x, y, s = _pixel_grid(h, w, 1)
-        pix_i = y.astype(jnp.uint32)
-        pix_j = x.astype(jnp.uint32)
-        sampling_offs = qmc.fnv32a(pix_i * qmc.fnv32a(pix_j))
-        pixel_sample = pass_idx.astype(jnp.uint32) + jnp.zeros_like(pix_i)
-        dx = qmc.ri_vdc(pixel_sample, sampling_offs)
-        dy = qmc.ri_s(pixel_sample, sampling_offs)
-        rays, wt = shoot_ray(cam, x.astype(jnp.float32) + dx,
-                             y.astype(jnp.float32) + dy, None, None)
-
-        (pos, nrm, wo, sp, pr, valid, thr, direct) = _eye_pass(
-            scene, types_present, rays, pixel_sample.astype(jnp.int32),
-            sampling_offs, opts)
-
-        # photon pass — per-pass decorrelation: the pass index shifts the
-        # photon QMC stream so every pass shoots a FRESH population
-        # (sppm.cc prePass; a constant seed would converge to the
-        # single-map bias instead of the true solution)
-        ppos, ppow, pdir, pok = pmap_mod.shoot_photons(
-            scene, types_present, opts.photons, opts.bounces,
-            seed=jnp.uint32(7) + pass_idx.astype(jnp.uint32) * jnp.uint32(9176),
-            mode="sppm", scene_center=center,
-            scene_radius=world_r)
-        grid = pmap_mod.build_photon_grid(ppos, ppow, pdir, pok, r0,
-                                          bmin, bmax)
-
-        if opts.pm_ire:
-            # PM_IRE: first pass only — set each pixel's initial radius
-            # from the photon density around its hit point
-            _, c0 = _gather_flat(grid, pos, nrm, jnp.full_like(state.r2, r0),
-                                 r0)
-            r2_ire = jnp.clip(
-                r0 * r0 * opts.search_count
-                / jnp.maximum(c0.astype(jnp.float32), 1.0),
-                r0 * r0 * 1e-4, r0 * r0)
-            first = pass_idx == 0
-            state = state._replace(
-                r2=jnp.where(first & valid, r2_ire, state.r2))
-
-        # gather raw flux within per-pixel radius (no kernel: SPPM uses the
-        # flat pi r^2 estimator, sppm.cc:780-800)
-        flux, count = _gather_flat(grid, pos, nrm, jnp.sqrt(state.r2), r0)
-        # modulate by BSDF at the hit (phi * f)
-        f = dispatch.eval_bsdf(types_present, pr, sp, wo, nrm, BSDF.ALL)
-        phi = flux * f * thr
-        m = count.astype(jnp.float32) * valid
-
-        g = jnp.where(state.acc_n + m > 0,
-                      (state.acc_n + opts.alpha * m)
-                      / jnp.maximum(state.acc_n + m, 1e-9), 1.0)
-        new_r2 = state.r2 * g
-        new_tau = (state.tau + phi) * g[..., None]
-        new_n = state.acc_n + opts.alpha * m
-        new_direct = state.direct + direct
-        return HitPoints(r2=new_r2, acc_n=new_n, tau=new_tau,
-                         direct=new_direct)
+        return one_pass_block(scene, types_present, state, pass_idx, 0, h,
+                              w, opts, cam, center, world_r, bmin, bmax, r0)
 
     start_pass = 0
     if checkpoint_path:
@@ -272,11 +218,92 @@ def render_sppm(scene, opts: SPPMOptions, verbose=False,
         if verbose:
             print(f"SPPM pass {k + 1}/{opts.passes}")
 
-    total_photons = opts.passes * opts.photons
-    indirect = state.tau / (np.pi * state.r2[..., None] * total_photons)
-    img = state.direct / opts.passes + indirect
-    rgba = jnp.concatenate([img, jnp.ones((npix, 1))], axis=-1)
-    return rgba.reshape(h, w, 4)
+    return finalize_sppm(state, opts.passes, opts.photons).reshape(h, w, 4)
+
+
+def one_pass_block(scene, types_present, state, pass_idx, y0, rows, w,
+                   opts: SPPMOptions, cam, center, world_r, bmin, bmax, r0):
+    """One SPPM pass for the pixel-row block [y0, y0+rows): eye pass +
+    fresh photon population + flat gather + radius/flux refinement.
+    state: HitPoints over the block's rows*w pixels.  y0 may be traced
+    (row sharding: each device passes axis_index*rows); QMC streams key
+    off GLOBAL pixel coordinates, so the sharded render is sample-for-
+    sample identical to the single-device one."""
+    from core_tpu.render import _pixel_grid
+    from core_tpu.cameras import shoot_ray
+    x, y, s = _pixel_grid(rows, w, 1, y0=y0)
+    pix_i = y.astype(jnp.uint32)
+    pix_j = x.astype(jnp.uint32)
+    sampling_offs = qmc.fnv32a(pix_i * qmc.fnv32a(pix_j))
+    pixel_sample = pass_idx.astype(jnp.uint32) + jnp.zeros_like(pix_i)
+    dx = qmc.ri_vdc(pixel_sample, sampling_offs)
+    dy = qmc.ri_s(pixel_sample, sampling_offs)
+    rays, wt = shoot_ray(cam, x.astype(jnp.float32) + dx,
+                         y.astype(jnp.float32) + dy, None, None)
+
+    (pos, nrm, wo, sp, pr, valid, thr, direct) = _eye_pass(
+        scene, types_present, rays, pixel_sample.astype(jnp.int32),
+        sampling_offs, opts)
+
+    # photon pass — per-pass decorrelation: the pass index shifts the
+    # photon QMC stream so every pass shoots a FRESH population
+    # (sppm.cc prePass; a constant seed would converge to the
+    # single-map bias instead of the true solution)
+    ppos, ppow, pdir, pok = pmap_mod.shoot_photons(
+        scene, types_present, opts.photons, opts.bounces,
+        seed=jnp.uint32(7) + pass_idx.astype(jnp.uint32) * jnp.uint32(9176),
+        mode="sppm", scene_center=center,
+        scene_radius=world_r)
+    grid = pmap_mod.build_photon_grid(ppos, ppow, pdir, pok, r0,
+                                      bmin, bmax)
+
+    if opts.pm_ire:
+        # PM_IRE: first pass only — set each pixel's initial radius
+        # from the photon density around its hit point
+        _, c0 = _gather_flat(grid, pos, nrm, jnp.full_like(state.r2, r0),
+                             r0)
+        r2_ire = jnp.clip(
+            r0 * r0 * opts.search_count
+            / jnp.maximum(c0.astype(jnp.float32), 1.0),
+            r0 * r0 * 1e-4, r0 * r0)
+        first = pass_idx == 0
+        state = state._replace(
+            r2=jnp.where(first & valid, r2_ire, state.r2))
+
+    # gather raw flux within per-pixel radius (no kernel: SPPM uses the
+    # flat pi r^2 estimator, sppm.cc:780-800)
+    flux, count = _gather_flat(grid, pos, nrm, jnp.sqrt(state.r2), r0)
+    # modulate by BSDF at the hit (phi * f); this framework's eval()
+    # convention omits the Lambert 1/pi (shinydiffuse.py), so divide it
+    # in here — without it the radiance estimate is pi-bright
+    f = dispatch.eval_bsdf(types_present, pr, sp, wo, nrm, BSDF.ALL)
+    phi = flux * f * thr / np.pi
+    m = count.astype(jnp.float32) * valid
+
+    g = jnp.where(state.acc_n + m > 0,
+                  (state.acc_n + opts.alpha * m)
+                  / jnp.maximum(state.acc_n + m, 1e-9), 1.0)
+    new_r2 = state.r2 * g
+    new_tau = (state.tau + phi) * g[..., None]
+    new_n = state.acc_n + opts.alpha * m
+    new_direct = state.direct + direct
+    return HitPoints(r2=new_r2, acc_n=new_n, tau=new_tau,
+                     direct=new_direct)
+
+
+def finalize_sppm(state: HitPoints, passes: int, photons: int):
+    """HitPoints -> rgba rows.
+
+    The reference normalizes accFlux by r^2*pi*totalnPhotons
+    (sppm.cc:200) because its photon powers are raw emitted flux; THIS
+    framework's photon powers are already divided by the per-pass photon
+    count at emission (photon/map.py: col * ipdf * nLights / nPhotons),
+    so each pass's gathered flux / (pi r^2) is a per-pass radiance
+    estimate and the accumulator divides by the pass count only."""
+    del photons
+    indirect = state.tau / (np.pi * state.r2[..., None] * passes)
+    img = state.direct / passes + indirect
+    return jnp.concatenate([img, jnp.ones(img.shape[:-1] + (1,))], axis=-1)
 
 
 def _gather_flat(pmap, q, qn, radius, r_max):

@@ -20,6 +20,7 @@ backward sweep (BASELINE config #5).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -127,23 +128,63 @@ def _halo_rows(opts: RenderOptions) -> int:
 
 
 def _rowshard_worker(scene, types_present, opts, mesh, spp, pass_offs,
-                     sample0, h, w, rows, halo):
+                     sample0, h, w, rows, halo, aux=None, vol_aux=None,
+                     resample_mask=None, film0=None):
     """Per-device body: render own rows into a local (rows+2*halo) film,
     psum over spp shards, exchange halos over the tiles ring.  Returns the
-    device's OWNED row block film ([rows, w])."""
+    device's OWNED row block film ([rows, w]).
+
+    aux/vol_aux: replicated integrator aux (photon maps, attenuation
+    grids) — built once before the shard_map, used by every shard.
+    resample_mask: full-image [h, w] adaptive-AA flags (replicated; the
+    chunk indexes it by global pixel coordinates).
+    film0: the device's accumulated OWN film from earlier passes ([rows]
+    block); its rows are scattered back into the halo'd local frame so
+    filter-overflow accounting matches the single-device film exactly.
+    For the bidirectional integrator the local film carries a FULL-height
+    density plane (t=1 light splats land anywhere) which is psum'd across
+    the whole mesh and sliced to the own block.
+    """
     n_tiles = mesh.shape["tiles"]
     n_spp = mesh.shape["spp"]
     spp_local = spp // n_spp
     ti = jax.lax.axis_index("tiles")
     si = jax.lax.axis_index("spp")
     y0 = ti * rows
+    bidir = opts.integrator == "bidirectional"
     local = film_mod.make_film(rows + 2 * halo, w)
+    if bidir:
+        local = local._replace(
+            density=jnp.zeros((rows * n_tiles, w, 3), jnp.float32))
+    if film0 is not None:
+        # seed the accumulated own block from earlier passes — only on ONE
+        # spp shard (and, for the global density plane, only the owning
+        # tile), since the films are psum'd below
+        first = (si == 0)
+        rgba0 = jnp.where(first, film0.rgba, 0.0)
+        w0 = jnp.where(first, film0.weight, 0.0)
+        if bidir:
+            dens0 = jax.lax.dynamic_update_slice(
+                local.density, jnp.where(first, film0.density, 0.0),
+                (ti * rows, 0, 0))
+            nd0 = jnp.where(first & (ti == 0), film0.n_density, 0.0)
+        else:
+            dens0 = local.density.at[halo:halo + rows].set(
+                jnp.where(first, film0.density, 0.0))
+            nd0 = jnp.where(first, film0.n_density, 0.0)
+        local = local._replace(
+            rgba=local.rgba.at[halo:halo + rows].set(rgba0),
+            weight=local.weight.at[halo:halo + rows].set(w0),
+            density=dens0, n_density=nd0)
     done = 0
     while done < spp_local:
         chunk = min(opts.spp_chunk, spp_local - done)
         local = render_chunk(scene, types_present, opts, local, pass_offs,
-                             chunk, sample0 + si * spp_local + done, None,
-                             y0=y0, rows=rows, splat_y0=y0 - halo)
+                             chunk, sample0 + si * spp_local + done,
+                             resample_mask,
+                             y0=y0, rows=rows, splat_y0=y0 - halo,
+                             aux=aux, vol_aux=vol_aux,
+                             density_y0=0 if bidir else None)
         done += chunk
     if n_spp > 1:
         local = jax.lax.psum(local, "spp")
@@ -154,12 +195,27 @@ def _rowshard_worker(scene, types_present, opts, mesh, spp, pass_offs,
         return a[sl] if a.ndim else a
 
     own = jax.tree.map(lambda a: _rows(a, slice(halo, halo + rows)), local)
+    if bidir:
+        # cross-shard light-image routing: the full-height density plane
+        # sums over every shard, each keeps its own rows (psum over "spp"
+        # already happened with the film above when n_spp > 1)
+        dens_full = jax.lax.psum(local.density, "tiles")
+        n_dens = jax.lax.psum(local.n_density, "tiles")
+        own = own._replace(
+            density=jax.lax.dynamic_slice_in_dim(dens_full, ti * rows,
+                                                 rows, axis=0),
+            n_density=n_dens)
     if n_tiles > 1 and halo > 0:
         # my top halo rows belong to tile ti-1 (they land at the END of its
         # own block); my bottom halo rows belong to tile ti+1 (its start)
         top = jax.tree.map(lambda a: _rows(a, slice(None, halo)), local)
         bottom = jax.tree.map(lambda a: _rows(a, slice(halo + rows, None)),
                               local)
+        if bidir:   # density already routed globally above
+            zero3 = jnp.zeros((halo, w, 3), jnp.float32)
+            top = top._replace(density=zero3, n_density=0.0 * top.n_density)
+            bottom = bottom._replace(density=zero3,
+                                     n_density=0.0 * bottom.n_density)
         from_next = jax.lax.ppermute(
             top, "tiles", [(t, t - 1) for t in range(1, n_tiles)])
         from_prev = jax.lax.ppermute(
@@ -171,12 +227,29 @@ def _rowshard_worker(scene, types_present, opts, mesh, spp, pass_offs,
     return own
 
 
+def _flush_own(own, h, w, opts):
+    """Own-block image with the light-image merge (film.flush semantics:
+    density scaled by full-frame pixels / paths) and gamma."""
+    img_own = film_mod.normalized(own)                # [rows, w, 4]
+    rgb = img_own[..., :3]
+    rgb = rgb + own.density * ((w * h)
+                               / jnp.maximum(own.n_density, 1.0))
+    if opts.clamp_rgb:
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+    if abs(opts.gamma - 1.0) > 1e-3:
+        rgb = jnp.power(jnp.maximum(rgb, 0.0), 1.0 / opts.gamma)
+    return jnp.concatenate([rgb, img_own[..., 3:]], axis=-1)
+
+
 def render_rowsharded(scene, opts: RenderOptions, mesh: Mesh, spp: int,
-                      pass_offs: int = 0, sample0: int = 0):
+                      pass_offs: int = 0, sample0: int = 0,
+                      aux=None, vol_aux=None):
     """Row-sharded single-pass render -> image [H,W,4] (replicated).
 
     Ragged heights are padded up to n_tiles row blocks and cropped at
-    flush, so any (h, n_tiles) combination works.
+    flush, so any (h, n_tiles) combination works.  aux/vol_aux: photon
+    maps / attenuation grids built once (integrator_preprocess), used
+    replicated by every shard.
     """
     import dataclasses
     if (scene.intersector == "pallas"
@@ -191,19 +264,177 @@ def render_rowsharded(scene, opts: RenderOptions, mesh: Mesh, spp: int,
     rows = -(-h // n_tiles)
     halo = _halo_rows(opts)
 
-    def worker(scene):
+    def worker(scene, aux, vol_aux):
         own = _rowshard_worker(scene, types_present, opts, mesh, spp,
-                               pass_offs, sample0, h, w, rows, halo)
-        img_own = film_mod.normalized(own)            # [rows, w, 4]
+                               pass_offs, sample0, h, w, rows, halo,
+                               aux=aux, vol_aux=vol_aux)
+        img_own = _flush_own(own, h, w, opts)
         full = jax.lax.all_gather(img_own, "tiles", axis=0, tiled=True)
         return full[:h]
 
     @jax.jit
-    def go(scene):
-        return jax.shard_map(worker, mesh=mesh, in_specs=P(),
-                             out_specs=P(), check_vma=False)(scene)
+    def go(scene, aux, vol_aux):
+        return jax.shard_map(worker, mesh=mesh, in_specs=(P(), P(), P()),
+                             out_specs=P(), check_vma=False)(scene, aux,
+                                                             vol_aux)
 
-    return go(scene)
+    return go(scene, aux, vol_aux)
+
+
+def render_image_rowsharded(scene, opts: RenderOptions, mesh: Mesh,
+                            verbose: bool = False):
+    """FULL multi-pass row-sharded render: integrator preprocess (photon
+    maps, SSS, attenuation grids) runs once replicated, then the adaptive
+    AA pass loop runs over the mesh — pass 1 with aa_samples, later
+    passes resampling only pixels flagged by the gathered film (the
+    reference's whole adaptive loop runs under its tile parallelism,
+    integrator.cc:132-227).  SPPM dispatches to its own sharded
+    progressive loop.  Returns image [H,W,4] (replicated)."""
+    import dataclasses
+    from core_tpu.render import integrator_preprocess
+    from core_tpu.integrators import volume as vol_mod
+    if (scene.intersector == "pallas"
+            and mesh.devices.flat[0].platform != "tpu"):
+        scene = dataclasses.replace(scene, intersector="brute")
+    if opts.integrator == "SPPM":
+        return render_sppm_rowsharded(scene, opts.integrator_opts, mesh,
+                                      opts, verbose=verbose)
+    types_present = scene_material_types(scene)
+    h, w = scene.camera.resy, scene.camera.resx
+    n_tiles = mesh.shape["tiles"]
+    n_spp = mesh.shape["spp"]
+    rows = -(-h // n_tiles)
+    halo = _halo_rows(opts)
+    aux = integrator_preprocess(scene, types_present, opts)
+    vol_aux = vol_mod.precompute_attenuation(scene, opts.volume_opts)
+
+    def pass_worker(scene, aux, vol_aux, film0, resample_mask, pass_offs,
+                    spp):
+        own = _rowshard_worker(scene, types_present, opts, mesh, spp,
+                               pass_offs, 0, h, w, rows, halo, aux=aux,
+                               vol_aux=vol_aux,
+                               resample_mask=resample_mask, film0=film0)
+        return own
+
+    film_spec = film_mod.Film(rgba=P("tiles"), weight=P("tiles"),
+                              density=P("tiles"), n_density=P())
+
+    @functools.partial(jax.jit, static_argnames=("spp", "with_mask"))
+    def run_pass(scene, aux, vol_aux, film0, resample_mask, pass_offs,
+                 spp, with_mask):
+        body = functools.partial(
+            pass_worker, pass_offs=pass_offs, spp=spp)
+        own = jax.shard_map(
+            lambda sc, a, va, f0, rm: body(
+                sc, a, va, f0, rm if with_mask else None),
+            mesh=mesh, in_specs=(P(), P(), P(), film_spec, P()),
+            out_specs=film_spec, check_vma=False)(
+                scene, aux, vol_aux, film0, resample_mask)
+        return own
+
+    @jax.jit
+    def gather_img(own_stack):
+        # own films live sharded over "tiles"; assemble the full image
+        def worker(own):
+            img_own = _flush_own(own, h, w, opts)
+            return jax.lax.all_gather(img_own, "tiles", axis=0,
+                                      tiled=True)[:h]
+        return jax.shard_map(worker, mesh=mesh, in_specs=(film_spec,),
+                             out_specs=P(), check_vma=False)(own_stack)
+
+    # sharded-own films live as [n_tiles*rows, ...] arrays sharded on axis
+    # 0; build the initial (empty) stack
+    film0 = film_mod.make_film(rows * n_tiles, w)
+    dummy_mask = jnp.ones((h, w), bool)
+    own = run_pass(scene, aux, vol_aux, film0, dummy_mask, 0,
+                   opts.aa_samples, False)
+    offs = opts.aa_samples
+    for p in range(1, opts.aa_passes):
+        # resample flags from the gathered intermediate image, exactly
+        # like the single-device loop (film.next_pass_flags works on a
+        # film; rebuild one from the gathered rows)
+        full_film = film_mod.Film(
+            rgba=own.rgba[:h], weight=own.weight[:h],
+            density=(own.density[:h]
+                     if own.density.shape[0] == rows * n_tiles
+                     else own.density),
+            n_density=own.n_density)
+        flags = film_mod.next_pass_flags(full_film, opts.aa_threshold)
+        if verbose:
+            print(f"pass {p + 1}/{opts.aa_passes}: resampling "
+                  f"{int(jnp.sum(flags))} pixels")
+        own = run_pass(scene, aux, vol_aux, own, flags, offs,
+                       opts.aa_inc_samples, True)
+        offs += opts.aa_inc_samples
+    img = gather_img(own)
+    return img
+
+
+def render_sppm_rowsharded(scene, sppm_opts, mesh: Mesh,
+                           render_opts: RenderOptions = None,
+                           verbose: bool = False):
+    """Row-sharded SPPM progressive loop: each tile shard owns the
+    HitPoints of its row block (eye pass + gather shard over "tiles");
+    the per-pass photon population is shot replicated — every device
+    derives the identical map from the shared pass-index seed, so no
+    photon exchange is needed.  Returns image [H,W,4] (replicated,
+    flushed with the render options' gamma)."""
+    import dataclasses
+    from core_tpu.integrators import sppm as sppm_mod
+    from core_tpu.integrators.photonmap import scene_bound
+    if (scene.intersector == "pallas"
+            and mesh.devices.flat[0].platform != "tpu"):
+        scene = dataclasses.replace(scene, intersector="brute")
+    types_present = scene_material_types(scene)
+    cam = scene.camera
+    h, w = cam.resy, cam.resx
+    n_tiles = mesh.shape["tiles"]
+    if h % n_tiles != 0:
+        raise ValueError(f"SPPM row sharding needs height {h} divisible "
+                         f"by {n_tiles} tiles")
+    rows = h // n_tiles
+    bmin, bmax = scene_bound(scene)
+    center = jnp.asarray(0.5 * (bmin + bmax), jnp.float32)
+    world_r = float(0.5 * np.linalg.norm(bmax - bmin))
+    r0 = sppm_opts.search_radius
+    npix_own = rows * w
+
+    state = sppm_mod.HitPoints(
+        r2=jnp.full(n_tiles * npix_own, r0 * r0),
+        acc_n=jnp.zeros(n_tiles * npix_own),
+        tau=jnp.zeros((n_tiles * npix_own, 3)),
+        direct=jnp.zeros((n_tiles * npix_own, 3)))
+    hp_spec = sppm_mod.HitPoints(r2=P("tiles"), acc_n=P("tiles"),
+                                 tau=P("tiles"), direct=P("tiles"))
+
+    def worker(scene, state, pass_idx):
+        ti = jax.lax.axis_index("tiles")
+        return sppm_mod.one_pass_block(
+            scene, types_present, state, pass_idx, ti * rows, rows, w,
+            sppm_opts, cam, center, world_r, bmin, bmax, r0)
+
+    @jax.jit
+    def one_pass(scene, state, pass_idx):
+        return jax.shard_map(worker, mesh=mesh,
+                             in_specs=(P(), hp_spec, P()),
+                             out_specs=hp_spec,
+                             check_vma=False)(scene, state, pass_idx)
+
+    for k in range(sppm_opts.passes):
+        state = one_pass(scene, state, jnp.asarray(k, jnp.int32))
+        if verbose:
+            print(f"sharded SPPM pass {k + 1}/{sppm_opts.passes}")
+
+    rgba = sppm_mod.finalize_sppm(state, sppm_opts.passes,
+                                  sppm_opts.photons).reshape(h, w, 4)
+    if render_opts is not None:
+        rgb = rgba[..., :3]
+        if render_opts.clamp_rgb:
+            rgb = jnp.clip(rgb, 0.0, 1.0)
+        if abs(render_opts.gamma - 1.0) > 1e-3:
+            rgb = jnp.power(jnp.maximum(rgb, 0.0), 1.0 / render_opts.gamma)
+        rgba = jnp.concatenate([rgb, rgba[..., 3:]], axis=-1)
+    return rgba
 
 
 def make_train_step_rowsharded(scene, opts: RenderOptions, mesh: Mesh,
