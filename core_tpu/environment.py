@@ -283,6 +283,10 @@ def setup_render_options(rp: ParamMap, ip: Optional[ParamMap],
             c_photons=ip.get_int("photons", 500000),
             caustic_radius=ip.get_float("caustic_radius", 0.25),
             caustic_depth=ip.get_int("caustic_depth", 10),
+            use_sss=ip.get_bool("useSSS", False),
+            sss_photons=ip.get_int("sssPhotons", 8192),
+            sss_steps=ip.get_int("sssDepth", 4),
+            sss_scale=ip.get_float("sssScale", 1.0),
             **common_ao)
     elif itype == "photonmapping":
         from core_tpu.integrators.photonmap import PhotonOptions

@@ -57,6 +57,12 @@ class PathOptions:
     ao_samples: int = 32
     ao_dist: float = 1.0
     ao_color: tuple = (1.0, 1.0, 1.0)
+    # TheBounty SSS under pathtracing (the reference's path tracer builds
+    # SSS maps too, pathtracer.cc:43,94-101)
+    use_sss: bool = False
+    sss_photons: int = 8192
+    sss_steps: int = 4
+    sss_scale: float = 1.0
     # indirect paths at camera-visible specular/glossy chain vertices: the
     # reference re-enters the full integrate() behind mirrors/glass
     # (recursion at mcintegrator.cc:421-628 -> pathtracer.cc:134 with
@@ -271,6 +277,16 @@ def integrate(scene, types_present, rays: Rays, pixel_sample, sampling_offs,
                                              nee0,
                                              transp_shad=opts.transp_shad,
                                              shadow_depth=opts.shadow_depth)
+
+    # SSS at the primary vertex (reference path tracer builds SSS maps
+    # like the direct integrator, pathtracer.cc:94-101 -> estimateSSSMaps)
+    if aux is not None and "sss" in aux and opts.use_sss:
+        from core_tpu.integrators import sss as sss_mod
+        sp_a0 = vec.sp_to_aos(sp)
+        p_a0 = dispatch._params_to_aos(p)
+        sss_c = sss_mod.estimate_sss(aux["sss"], sp_a0, p_a0,
+                                     vec.aos(wo), primary_valid)
+        col = col + opts.sss_scale * vec.v3(sss_c)
 
     # photon-mapped caustics at the primary vertex (pathtracer.cc:171)
     if aux is not None and "caustic" in aux \
