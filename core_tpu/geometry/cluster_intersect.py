@@ -79,10 +79,12 @@ GROUPED_MIN_CLUSTERS = 1024     # flat sweep below this (~260k tris)
 
 
 def build_clusters(verts: np.ndarray, tri_vidx: np.ndarray,
-                   max_leaf: int = CLUSTER) -> ClusterData:
+                   max_leaf: int = CLUSTER,
+                   sort_origin=None) -> ClusterData:
     """Axis-median recursive partition into <=max_leaf-tri clusters.
     Above GROUPED_MIN_CLUSTERS the two-level grouped data (v2 kernel,
-    conditional DMA) is attached and used automatically."""
+    conditional DMA) is attached and used automatically; sort_origin
+    (usually the camera position) orders it front-to-back."""
     verts = np.asarray(verts, np.float32)
     tri_vidx = np.asarray(tri_vidx, np.int32)
     v0 = verts[tri_vidx[:, 0]]
@@ -123,7 +125,8 @@ def build_clusters(verts: np.ndarray, tri_vidx: np.ndarray,
         tris[ci, :k, 9] = ids.astype(np.float32)
     cl = ClusterData(aabb=jnp.asarray(aabb), tris=jnp.asarray(tris))
     if C >= GROUPED_MIN_CLUSTERS:
-        cl = cl._replace(grouped=group_clusters(cl))
+        cl = cl._replace(grouped=group_clusters(cl,
+                                                sort_origin=sort_origin))
     return cl
 
 
@@ -552,6 +555,7 @@ def any_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
 # unconditionally.
 
 GROUP = 64              # clusters per group
+OCTET = 8               # clusters gated per scalar reduce (DMA slots)
 
 
 class GroupedData(NamedTuple):
@@ -563,13 +567,36 @@ class GroupedData(NamedTuple):
                             # (8,128)-tile aligned in its last two dims
 
 
-def group_clusters(cl: ClusterData, group: int = GROUP) -> GroupedData:
+def group_clusters(cl: ClusterData, group: int = GROUP,
+                   sort_origin=None) -> GroupedData:
     """Host-side: pad clusters to a multiple of `group` and take group
     AABBs over consecutive build-order runs (recursive-median order keeps
-    siblings adjacent, so consecutive runs are spatially tight)."""
+    siblings adjacent, so consecutive runs are spatially tight).
+
+    sort_origin: optional [3] point (typically the camera position).
+    Clusters are ordered front-to-back WITHIN their group and groups are
+    ordered front-to-back overall — the kernels' tcap=min(tcap, best_t)
+    slab gating then culls everything behind the first hit without any
+    per-tile ordering machinery (a lockstep grid cannot reorder per
+    tile; a static near-to-far order is the TPU stand-in for the
+    kd-tree's per-ray front-to-back traversal)."""
     aabb = np.asarray(cl.aabb)
     tris = np.asarray(cl.tris)
     C = aabb.shape[0]
+    if sort_origin is not None and C > group:
+        so = np.asarray(sort_origin, np.float32)
+        cent = 0.5 * (aabb[:, 0:3] + aabb[:, 3:6])
+        d = np.linalg.norm(cent - so[None], axis=1)
+        n_full = (C // group) * group
+        order = np.arange(C)
+        for g0 in range(0, n_full, group):
+            seg = order[g0:g0 + group]
+            order[g0:g0 + group] = seg[np.argsort(d[seg], kind="stable")]
+        runs = [order[g0:g0 + group] for g0 in range(0, C, group)]
+        runs.sort(key=lambda seg: float(d[seg].min()))
+        order = np.concatenate(runs)
+        aabb = aabb[order]
+        tris = tris[order]
     pad = (-C) % group
     if pad:
         inv = np.zeros((pad, 8), np.float32)
@@ -642,65 +669,86 @@ def _grouped_kernel(csize: int, group: int,
     def _group_body():
         ex0 = ex0_ref[...]
         ex1 = ex1_ref[...]
+        n_oct = group // OCTET
 
-        def cluster_step(ci, carry):
-            bt, bp, bu, bv = carry
-            cbox = _slab_test_dyn(c_aabb_ref, 0, ci, ox, oy, oz,
-                                  dx, dy, dz, tmin,
-                                  jnp.minimum(tlim, bt))
+        def octet_step(oc, carry):
+            bt0 = carry[0]
+            tc = jnp.minimum(tlim, bt0)
+            cboxes = [_slab_test_dyn(c_aabb_ref, 0, oc * OCTET + j,
+                                     ox, oy, oz, dx, dy, dz, tmin, tc)
+                      for j in range(OCTET)]
+            gates = [jnp.any(cb) for cb in cboxes]
+            any8 = gates[0]
+            for j in range(1, OCTET):
+                any8 = any8 | gates[j]
 
-            def hit_cluster(carry):
-                bt, bp, bu, bv = carry
-                cp = pltpu.make_async_copy(
-                    tri_hbm.at[g * group + ci], scratch, sem)
-                cp.start()
-                cp.wait()
+            def octet_body(carry):
+                # start every gated cluster's DMA up front (one slot per
+                # cluster) so the copies overlap the MT loops below
+                for j in range(OCTET):
+                    @pl.when(gates[j])
+                    def _start(j=j):
+                        pltpu.make_async_copy(
+                            tri_hbm.at[g * group + oc * OCTET + j],
+                            scratch.at[j], sem.at[j]).start()
 
-                def body(k, c2):
-                    bt, bp, bu, bv = c2
-                    v0x = scratch[0, k]
-                    v0y = scratch[1, k]
-                    v0z = scratch[2, k]
-                    e1x = scratch[3, k]
-                    e1y = scratch[4, k]
-                    e1z = scratch[5, k]
-                    e2x = scratch[6, k]
-                    e2y = scratch[7, k]
-                    e2z = scratch[8, k]
-                    tid = scratch[9, k].astype(jnp.int32)
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    det_ok = jnp.abs(det) > 1e-12
-                    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    u = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    v = (dx * qx + dy * qy + dz * qz) * inv_det
-                    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    ok = det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
-                        & (u + v <= 1.0) & (t > tmin) & (t < tlim) \
-                        & (t < bt) & (tid != ex0) & (tid != ex1) \
-                        & (tid >= 0) & cbox
-                    bt = jnp.where(ok, t, bt)
-                    bp = jnp.where(ok, tid, bp)
-                    bu = jnp.where(ok, u, bu)
-                    bv = jnp.where(ok, v, bv)
-                    return bt, bp, bu, bv
+                for j in range(OCTET):
+                    def hit_cluster(c2, j=j):
+                        bt, bp, bu, bv = c2
+                        pltpu.make_async_copy(
+                            tri_hbm.at[g * group + oc * OCTET + j],
+                            scratch.at[j], sem.at[j]).wait()
+                        cbox = cboxes[j]
 
-                return jax.lax.fori_loop(0, csize, body,
-                                         (bt, bp, bu, bv))
+                        def body(k, c3):
+                            bt, bp, bu, bv = c3
+                            v0x = scratch[j, 0, k]
+                            v0y = scratch[j, 1, k]
+                            v0z = scratch[j, 2, k]
+                            e1x = scratch[j, 3, k]
+                            e1y = scratch[j, 4, k]
+                            e1z = scratch[j, 5, k]
+                            e2x = scratch[j, 6, k]
+                            e2y = scratch[j, 7, k]
+                            e2z = scratch[j, 8, k]
+                            tid = scratch[j, 9, k].astype(jnp.int32)
+                            px = dy * e2z - dz * e2y
+                            py = dz * e2x - dx * e2z
+                            pz = dx * e2y - dy * e2x
+                            det = e1x * px + e1y * py + e1z * pz
+                            det_ok = jnp.abs(det) > 1e-12
+                            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                            tx = ox - v0x
+                            ty = oy - v0y
+                            tz = oz - v0z
+                            u = (tx * px + ty * py + tz * pz) * inv_det
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            v = (dx * qx + dy * qy + dz * qz) * inv_det
+                            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                            ok = det_ok & (u >= 0.0) & (u <= 1.0) \
+                                & (v >= 0.0) & (u + v <= 1.0) \
+                                & (t > tmin) & (t < tlim) & (t < bt) \
+                                & (tid != ex0) & (tid != ex1) \
+                                & (tid >= 0) & cbox
+                            bt = jnp.where(ok, t, bt)
+                            bp = jnp.where(ok, tid, bp)
+                            bu = jnp.where(ok, u, bu)
+                            bv = jnp.where(ok, v, bv)
+                            return bt, bp, bu, bv
 
-            return jax.lax.cond(jnp.any(cbox), hit_cluster,
-                                lambda c: c, carry)
+                        return jax.lax.fori_loop(0, csize, body,
+                                                 (bt, bp, bu, bv))
+
+                    carry = jax.lax.cond(gates[j], hit_cluster,
+                                         lambda c: c, carry)
+                return carry
+
+            return jax.lax.cond(any8, octet_body, lambda c: c, carry)
 
         init = (t_ref[...], prim_ref[...], u_ref[...], v_ref[...])
-        bt, bp, bu, bv = jax.lax.fori_loop(0, group, cluster_step, init)
+        bt, bp, bu, bv = jax.lax.fori_loop(0, n_oct, octet_step, init)
         t_ref[...] = bt
         prim_ref[...] = bp
         u_ref[...] = bu
@@ -736,17 +784,57 @@ def _run_grouped(g_aabb, c_aabb, tris, comps, n_groups: int,
             jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((16, csize), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((OCTET, 16, csize), jnp.float32),
+            pltpu.SemaphoreType.DMA((OCTET,)),
         ],
         interpret=interpret,
     )(g_aabb, c_aabb, tris, *comps)
 
 
+def _interval_slab(aabb_ref, g, c, ox, oy, oz, dlo, dhi, tmin, tcap):
+    """Conservative per-lane slab test for a DIRECTION INTERVAL
+    [dlo, dhi] (componentwise): any direction in the box might hit.
+    Axes whose direction interval spans 0 give no t constraint."""
+    eps = 1e-20
+
+    def axis_int(o, dl, dh, b0, b1):
+        pos = dl > 0.0          # whole interval positive
+        neg = dh < 0.0          # whole interval negative
+        # widest t interval over d in [dl, dh] (same-sign cases);
+        # mixed-sign -> unconstrained
+        dl_s = jnp.where(jnp.abs(dl) < eps,
+                         jnp.where(dl < 0, -eps, eps), dl)
+        dh_s = jnp.where(jnp.abs(dh) < eps,
+                         jnp.where(dh < 0, -eps, eps), dh)
+        lo_p = jnp.minimum((b0 - o) / dh_s, (b0 - o) / dl_s)
+        hi_p = jnp.maximum((b1 - o) / dh_s, (b1 - o) / dl_s)
+        lo_n = jnp.minimum((b1 - o) / dh_s, (b1 - o) / dl_s)
+        hi_n = jnp.maximum((b0 - o) / dh_s, (b0 - o) / dl_s)
+        lo = jnp.where(pos, lo_p, jnp.where(neg, lo_n, -BIG))
+        hi = jnp.where(pos, hi_p, jnp.where(neg, hi_n, BIG))
+        return lo, hi
+
+    nx, fx = axis_int(ox, dlo[0], dhi[0], aabb_ref[g, c, 0],
+                      aabb_ref[g, c, 3])
+    ny, fy = axis_int(oy, dlo[1], dhi[1], aabb_ref[g, c, 1],
+                      aabb_ref[g, c, 4])
+    nz, fz = axis_int(oz, dlo[2], dhi[2], aabb_ref[g, c, 2],
+                      aabb_ref[g, c, 5])
+    tn = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, tmin))
+    tf = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, tcap))
+    return tn <= tf
+
+
 def _grouped_nee_kernel(csize: int, group: int, K: int,
                         g_aabb_ref, c_aabb_ref, tri_hbm, ox_ref, oy_ref,
                         oz_ref, tmin_ref, ex0_ref, ex1_ref, *rest):
-    """Grouped conditional-DMA variant of the shared-origin NEE sweep."""
+    """Grouped conditional-DMA variant of the shared-origin NEE sweep.
+
+    Gating is per-lane but direction-UNION: each lane's K shadow rays
+    are bounded by a componentwise direction interval and the widest
+    tcap, so a cluster pays ONE conservative interval-slab test instead
+    of K exact slabs (K=2*light_samples can be 16-24: exact per-dir
+    gates would cost more than the saved Möller-Trumbore work)."""
     dxs = rest[0:K]
     dys = rest[K:2 * K]
     dzs = rest[2 * K:3 * K]
@@ -768,81 +856,129 @@ def _grouped_nee_kernel(csize: int, group: int, K: int,
     tc = [tcaps[k][...] for k in range(K)]
     live = [hit_refs[k][...] == 0 for k in range(K)]
 
-    gbox_any = None
-    for k in range(K):
-        bh = _slab_test(g_aabb_ref, g, ox, oy, oz, d[k][0], d[k][1],
-                        d[k][2], tmin, tc[k]) & live[k]
-        gbox_any = bh if gbox_any is None else (gbox_any | bh)
+    # per-lane union bounds over the K directions / caps; a lane whose
+    # ray k already hit (or has a dead cap) contributes nothing: its cap
+    # is clamped to tmin (empty t interval)
+    def eff_cap(k):
+        return jnp.where(live[k], tc[k], tmin)
 
-    @pl.when(jnp.any(gbox_any))
+    dlo = [d[0][a] for a in range(3)]
+    dhi = [d[0][a] for a in range(3)]
+    tcu = eff_cap(0)
+    for k in range(1, K):
+        for a in range(3):
+            dlo[a] = jnp.minimum(dlo[a], d[k][a])
+            dhi[a] = jnp.maximum(dhi[a], d[k][a])
+        tcu = jnp.maximum(tcu, eff_cap(k))
+
+    # group gate: interval slab against the group AABB (flat [G,8])
+    eps = 1e-20
+
+    def g_axis(o, dl, dh, b0, b1):
+        pos = dl > 0.0
+        neg = dh < 0.0
+        dl_s = jnp.where(jnp.abs(dl) < eps,
+                         jnp.where(dl < 0, -eps, eps), dl)
+        dh_s = jnp.where(jnp.abs(dh) < eps,
+                         jnp.where(dh < 0, -eps, eps), dh)
+        lo_p = jnp.minimum((b0 - o) / dh_s, (b0 - o) / dl_s)
+        hi_p = jnp.maximum((b1 - o) / dh_s, (b1 - o) / dl_s)
+        lo_n = jnp.minimum((b1 - o) / dh_s, (b1 - o) / dl_s)
+        hi_n = jnp.maximum((b0 - o) / dh_s, (b0 - o) / dl_s)
+        lo = jnp.where(pos, lo_p, jnp.where(neg, lo_n, -BIG))
+        hi = jnp.where(pos, hi_p, jnp.where(neg, hi_n, BIG))
+        return lo, hi
+
+    nx, fx = g_axis(ox, dlo[0], dhi[0], g_aabb_ref[g, 0], g_aabb_ref[g, 3])
+    ny, fy = g_axis(oy, dlo[1], dhi[1], g_aabb_ref[g, 1], g_aabb_ref[g, 4])
+    nz, fz = g_axis(oz, dlo[2], dhi[2], g_aabb_ref[g, 2], g_aabb_ref[g, 5])
+    tn = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, tmin))
+    tf = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, tcu))
+    gbox = tn <= tf
+
+    @pl.when(jnp.any(gbox))
     def _group_body():
         ex0 = ex0_ref[...]
         ex1 = ex1_ref[...]
+        n_oct = group // OCTET
 
-        def cluster_step(ci, hits):
-            box_k = []
-            box_any = None
-            for k in range(K):
-                bh = _slab_test_dyn(c_aabb_ref, 0, ci, ox, oy, oz,
-                                    d[k][0], d[k][1], d[k][2], tmin,
-                                    tc[k]) & (hits[k] == 0)
-                box_k.append(bh)
-                box_any = bh if box_any is None else (box_any | bh)
+        def octet_step(oc, hits):
+            cboxes = [_interval_slab(c_aabb_ref, 0, oc * OCTET + j,
+                                     ox, oy, oz, dlo, dhi, tmin, tcu)
+                      for j in range(OCTET)]
+            gates = [jnp.any(cb) for cb in cboxes]
+            any8 = gates[0]
+            for j in range(1, OCTET):
+                any8 = any8 | gates[j]
 
-            def hit_cluster(hits):
-                cp = pltpu.make_async_copy(
-                    tri_hbm.at[g * group + ci], scratch, sem)
-                cp.start()
-                cp.wait()
+            def octet_body(hits):
+                for j in range(OCTET):
+                    @pl.when(gates[j])
+                    def _start(j=j):
+                        pltpu.make_async_copy(
+                            tri_hbm.at[g * group + oc * OCTET + j],
+                            scratch.at[j], sem.at[j]).start()
 
-                def body(i, hits):
-                    v0x = scratch[0, i]
-                    v0y = scratch[1, i]
-                    v0z = scratch[2, i]
-                    e1x = scratch[3, i]
-                    e1y = scratch[4, i]
-                    e1z = scratch[5, i]
-                    e2x = scratch[6, i]
-                    e2y = scratch[7, i]
-                    e2z = scratch[8, i]
-                    tid = scratch[9, i].astype(jnp.int32)
-                    tx = ox - v0x
-                    ty = oy - v0y
-                    tz = oz - v0z
-                    m1x = e2y * e1z - e2z * e1y
-                    m1y = e2z * e1x - e2x * e1z
-                    m1z = e2x * e1y - e2y * e1x
-                    wx = e2y * tz - e2z * ty
-                    wy = e2z * tx - e2x * tz
-                    wz = e2x * ty - e2y * tx
-                    qx = ty * e1z - tz * e1y
-                    qy = tz * e1x - tx * e1z
-                    qz = tx * e1y - ty * e1x
-                    tnum = e2x * qx + e2y * qy + e2z * qz
-                    not_excl = (tid != ex0) & (tid != ex1) & (tid >= 0)
+                for j in range(OCTET):
+                    def hit_cluster(hits, j=j):
+                        pltpu.make_async_copy(
+                            tri_hbm.at[g * group + oc * OCTET + j],
+                            scratch.at[j], sem.at[j]).wait()
 
-                    out = []
-                    for k in range(K):
-                        dx, dy, dz = d[k]
-                        det = dx * m1x + dy * m1y + dz * m1z
-                        s = jnp.where(det < 0.0, -1.0, 1.0)
-                        dd = jnp.abs(det)
-                        un = (dx * wx + dy * wy + dz * wz) * s
-                        vn = (dx * qx + dy * qy + dz * qz) * s
-                        tn = tnum * s
-                        ok = (dd > 1e-12) & (un >= 0.0) & (vn >= 0.0) \
-                            & (un + vn <= dd) & (tn > tmin * dd) \
-                            & (tn < tc[k] * dd) & not_excl & box_k[k]
-                        out.append(hits[k] | ok.astype(jnp.int32))
-                    return tuple(out)
+                        def body(i, hits):
+                            v0x = scratch[j, 0, i]
+                            v0y = scratch[j, 1, i]
+                            v0z = scratch[j, 2, i]
+                            e1x = scratch[j, 3, i]
+                            e1y = scratch[j, 4, i]
+                            e1z = scratch[j, 5, i]
+                            e2x = scratch[j, 6, i]
+                            e2y = scratch[j, 7, i]
+                            e2z = scratch[j, 8, i]
+                            tid = scratch[j, 9, i].astype(jnp.int32)
+                            tx = ox - v0x
+                            ty = oy - v0y
+                            tz = oz - v0z
+                            m1x = e2y * e1z - e2z * e1y
+                            m1y = e2z * e1x - e2x * e1z
+                            m1z = e2x * e1y - e2y * e1x
+                            wx = e2y * tz - e2z * ty
+                            wy = e2z * tx - e2x * tz
+                            wz = e2x * ty - e2y * tx
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            tnum = e2x * qx + e2y * qy + e2z * qz
+                            not_excl = (tid != ex0) & (tid != ex1) \
+                                & (tid >= 0)
 
-                return jax.lax.fori_loop(0, csize, body, hits)
+                            out = []
+                            for k in range(K):
+                                dx, dy, dz = d[k]
+                                det = dx * m1x + dy * m1y + dz * m1z
+                                s = jnp.where(det < 0.0, -1.0, 1.0)
+                                dd = jnp.abs(det)
+                                un = (dx * wx + dy * wy + dz * wz) * s
+                                vn = (dx * qx + dy * qy + dz * qz) * s
+                                tn = tnum * s
+                                ok = (dd > 1e-12) & (un >= 0.0) \
+                                    & (vn >= 0.0) & (un + vn <= dd) \
+                                    & (tn > tmin * dd) \
+                                    & (tn < tc[k] * dd) & not_excl
+                                out.append(hits[k]
+                                           | ok.astype(jnp.int32))
+                            return tuple(out)
 
-            return jax.lax.cond(jnp.any(box_any), hit_cluster,
-                                lambda h: h, hits)
+                        return jax.lax.fori_loop(0, csize, body, hits)
+
+                    hits = jax.lax.cond(gates[j], hit_cluster,
+                                        lambda h: h, hits)
+                return hits
+
+            return jax.lax.cond(any8, octet_body, lambda h: h, hits)
 
         hits = jax.lax.fori_loop(
-            0, group, cluster_step,
+            0, n_oct, octet_step,
             tuple(hit_refs[k][...] for k in range(K)))
         for k in range(K):
             hit_refs[k][...] = hits[k]
@@ -862,8 +998,8 @@ def _run_grouped_nee(g_aabb, c_aabb, tris, shared, dirs_flat, tcaps,
         out_specs=[_OUT_SPEC] * K,
         out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)] * K,
         scratch_shapes=[
-            pltpu.SMEM((16, csize), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((OCTET, 16, csize), jnp.float32),
+            pltpu.SemaphoreType.DMA((OCTET,)),
         ],
         interpret=interpret,
     )(g_aabb, c_aabb, tris, *shared, *dirs_flat, *tcaps)

@@ -96,8 +96,11 @@ def _cluster_accel(scene: Scene):
         raise ValueError(
             "intersector='cluster' needs a prebuilt ClusterData accel "
             "(use core_tpu.scene.with_cluster_accel(scene) before jit)")
+    pos = (np.asarray(scene.camera.pos)
+           if scene.camera is not None else None)
     return ck.build_clusters(np.asarray(scene.geom.verts),
-                             np.asarray(scene.geom.tri_vidx))
+                             np.asarray(scene.geom.tri_vidx),
+                             sort_origin=pos)
 
 
 def with_cluster_accel(scene: Scene) -> Scene:
@@ -389,8 +392,15 @@ def material_params(scene: Scene, sp: SurfacePoints, lod=None):
 
     BLEND/MASK composites (src/materials/blend.cc, mask.cc) resolve here:
     mask switches to one of its two sub-material rows by texture threshold
-    (exact); blend lerps the two rows' float columns (exact when both subs
-    share a family, an approximation across families)."""
+    (exact); blend lerps the two rows' float columns when both subs share
+    a family (exact — the lerped row IS the blended BSDF there).  CROSS-
+    family blends (e.g. glossy (+) glass) pick ONE sub-material per
+    sample with probability blend_val — a one-sample estimate of the
+    reference's evaluated-BSDF mixture (blend.cc evaluates both and
+    lerps): unbiased, converging to the same image with sample count.
+    The pick is decorrelated by hashing the hit's (prim, u, v); u/v vary
+    with the AA jitter, so successive samples of a pixel draw fresh
+    picks."""
     from core_tpu.materials.base import gather_params, MatType
     p = gather_params(scene.materials, sp.mat)
 
@@ -417,20 +427,32 @@ def material_params(scene: Scene, sp: SurfacePoints, lod=None):
         else:
             mask_pick = jnp.zeros_like(is_mask)
 
+        # cross-family blend: stochastic sub-material pick (docstring)
+        cross = is_blend & (sub0.mtype != sub1.mtype)
+        h = jnp.sin(sp.uv[..., 0] * 12.9898 + sp.uv[..., 1] * 78.233
+                    + sp.prim.astype(jnp.float32) * 0.1734) * 43758.5453
+        r01 = h - jnp.floor(h)
+        stoch_pick1 = cross & (r01 < val)
+
         def resolve(a, b, leaf0, leaf1, orig):
             m = is_mask
             bl = is_blend
             vv = val
+            cr = cross
+            sp1 = stoch_pick1
             while m.ndim < leaf0.ndim:
                 m = m[..., None]
                 bl = bl[..., None]
                 vv = vv[..., None]
                 a = a[..., None]
+                cr = cr[..., None]
+                sp1 = sp1[..., None]
             picked = jnp.where(a, leaf1, leaf0)
             if jnp.issubdtype(leaf0.dtype, jnp.floating):
                 blended = leaf0 * (1.0 - vv) + leaf1 * vv
             else:
                 blended = picked
+            blended = jnp.where(cr, jnp.where(sp1, leaf1, leaf0), blended)
             return jnp.where(m, picked, jnp.where(bl, blended, orig))
 
         mp = mask_pick
