@@ -137,6 +137,39 @@ def illum_pdf(light, sp, sp_light):
     return _mod(light).illum_pdf(light, sp, sp_light)
 
 
+def _mesh_face_cos(mlight, p_light, d_out):
+    """|cos| between d_out and the face normal of the mesh-light triangle
+    containing p_light — recovered by a nearest-plane + barycentric test
+    over the light's (small) triangle set.  Closes the round-3 |cos|~1
+    approximation (weak #8): BDPT technique weights on mesh-light scenes
+    now use the true emission cosine."""
+    from core_tpu.mathutils import dot
+    va, vb, vc, nrm = mlight.va, mlight.vb, mlight.vc, mlight.normals
+    T = va.shape[0]
+    n = p_light.shape[0]
+    best = jnp.full(n, jnp.inf)
+    cos = jnp.ones(n, jnp.float32)
+    for t in range(T):
+        e1 = vb[t] - va[t]
+        e2 = vc[t] - va[t]
+        rel = p_light - va[t][None]
+        d00 = jnp.dot(e1, e1)
+        d01 = jnp.dot(e1, e2)
+        d11 = jnp.dot(e2, e2)
+        d20 = rel @ e1
+        d21 = rel @ e2
+        den = jnp.maximum(d00 * d11 - d01 * d01, 1e-20)
+        v = (d11 * d20 - d01 * d21) / den
+        w = (d00 * d21 - d01 * d20) / den
+        inside = (v >= -1e-4) & (w >= -1e-4) & (v + w <= 1.0 + 1e-4)
+        plane_d = jnp.abs(rel @ nrm[t])
+        score = jnp.where(inside, plane_d, jnp.inf)
+        take = score < best
+        best = jnp.where(take, score, best)
+        cos = jnp.where(take, jnp.abs(dot(d_out, nrm[t][None])), cos)
+    return cos
+
+
 def emit_pdf(light, p_light, d_out, scene_radius=None):
     """The reference light_t::emitPdf (include/core_api/light.h): pdfs of
     generating an emission ray at p_light [N,3] in direction d_out [N,3]
@@ -174,14 +207,13 @@ def emit_pdf(light, p_light, d_out, scene_radius=None):
         return (jnp.broadcast_to(1.0 / light.area, (n,)),
                 cos * inv_pi, cos, False, False)
     if isinstance(light, mesh_m.MeshLight):
-        # cosine emission over the mesh; without the sampled face normal
-        # the |cos| is approximated by 1 (documented: affects only the
-        # relative technique weights, not unbiasedness of the estimator)
+        cos = _mesh_face_cos(light, p_light, d_out)
         return (jnp.broadcast_to(1.0 / light.area, (n,)),
-                ones * inv_pi, ones, False, False)
+                cos * inv_pi, cos, False, False)
     if isinstance(light, portal_m.BgPortalLight):
+        cos = _mesh_face_cos(light.mesh, p_light, d_out)
         return (jnp.broadcast_to(1.0 / light.mesh.area, (n,)),
-                ones * inv_pi, ones, False, False)
+                cos * inv_pi, cos, False, False)
     if isinstance(light, sphere_m.SphereLight):
         nrm = (p_light - light.center[None]) / jnp.maximum(light.radius,
                                                            1e-9)
