@@ -204,8 +204,12 @@ class SceneBuilder:
         accel = None
         if isect == "cluster":
             from core_tpu.geometry.cluster_intersect import build_clusters
+            # camera position orders groups/clusters front-to-back so the
+            # kernels' tcap gating prunes everything behind the first hit
             accel = build_clusters(np.asarray(geom.verts),
-                                   np.asarray(geom.tri_vidx))
+                                   np.asarray(geom.tri_vidx),
+                                   sort_origin=np.asarray(self.camera.pos)
+                                   if self.camera is not None else None)
         scene = Scene(geom=geom, materials=mats, lights=tuple(self.lights),
                       camera=self.camera, background=self.background,
                       accel=accel, textures=ctex,

@@ -424,10 +424,20 @@ def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
                  + [rows(v.z) for v in dirs])
     tcap_rows = [rows(jnp.where(t > 0, t, BIG), fill=-1.0) for t in tcaps]
     if cl.grouped is not None:
+        # K independent single-direction sweeps (exact slabs) instead of
+        # the union-direction bundle: at grouped scale the union of K
+        # spread NEE directions opens every gate (see _grouped_any_kernel
+        # docstring), so per-direction exact culling wins by orders of
+        # magnitude even though the shared-origin MT terms are recomputed.
         gd = cl.grouped
-        hits = _run_grouped_nee(gd.g_aabb, gd.c_aabb, gd.tris, shared,
-                                dirs_flat, tcap_rows, gd.g_aabb.shape[0],
-                                K, interpret=interpret)
+        hits = []
+        for k in range(K):
+            comps = shared[:3] + (dirs_flat[k], dirs_flat[K + k],
+                                  dirs_flat[2 * K + k], shared[3],
+                                  tcap_rows[k], shared[4], shared[5])
+            (h,) = _run_grouped_any(gd.g_aabb, gd.c_aabb, gd.tris, comps,
+                                    gd.g_aabb.shape[0], interpret=interpret)
+            hits.append(h)
     else:
         hits = _run_clusters_any_nee(cl.aabb, cl.tris, shared, dirs_flat,
                                      tcap_rows, cl.n_clusters, K,
@@ -526,10 +536,11 @@ def closest_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
 def any_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
                        exclude_prim2=None, interpret=False):
     if cl.grouped is not None:
-        h = closest_hit_grouped_s(cl, rays_s, exclude_prim=exclude_prim,
-                                  exclude_prim2=exclude_prim2,
-                                  interpret=interpret)
-        return h.prim >= 0
+        gd = cl.grouped
+        comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
+        (hit,) = _run_grouped_any(gd.g_aabb, gd.c_aabb, gd.tris, comps,
+                                  gd.g_aabb.shape[0], interpret=interpret)
+        return hit.reshape(-1)[:n] > 0
     comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
     (hit,) = _run_clusters_any(cl.aabb, cl.tris, comps, cl.n_clusters,
                                interpret=interpret)
@@ -791,220 +802,6 @@ def _run_grouped(g_aabb, c_aabb, tris, comps, n_groups: int,
     )(g_aabb, c_aabb, tris, *comps)
 
 
-def _interval_slab(aabb_ref, g, c, ox, oy, oz, dlo, dhi, tmin, tcap):
-    """Conservative per-lane slab test for a DIRECTION INTERVAL
-    [dlo, dhi] (componentwise): any direction in the box might hit.
-    Axes whose direction interval spans 0 give no t constraint."""
-    eps = 1e-20
-
-    def axis_int(o, dl, dh, b0, b1):
-        pos = dl > 0.0          # whole interval positive
-        neg = dh < 0.0          # whole interval negative
-        # widest t interval over d in [dl, dh] (same-sign cases);
-        # mixed-sign -> unconstrained
-        dl_s = jnp.where(jnp.abs(dl) < eps,
-                         jnp.where(dl < 0, -eps, eps), dl)
-        dh_s = jnp.where(jnp.abs(dh) < eps,
-                         jnp.where(dh < 0, -eps, eps), dh)
-        lo_p = jnp.minimum((b0 - o) / dh_s, (b0 - o) / dl_s)
-        hi_p = jnp.maximum((b1 - o) / dh_s, (b1 - o) / dl_s)
-        lo_n = jnp.minimum((b1 - o) / dh_s, (b1 - o) / dl_s)
-        hi_n = jnp.maximum((b0 - o) / dh_s, (b0 - o) / dl_s)
-        lo = jnp.where(pos, lo_p, jnp.where(neg, lo_n, -BIG))
-        hi = jnp.where(pos, hi_p, jnp.where(neg, hi_n, BIG))
-        return lo, hi
-
-    nx, fx = axis_int(ox, dlo[0], dhi[0], aabb_ref[g, c, 0],
-                      aabb_ref[g, c, 3])
-    ny, fy = axis_int(oy, dlo[1], dhi[1], aabb_ref[g, c, 1],
-                      aabb_ref[g, c, 4])
-    nz, fz = axis_int(oz, dlo[2], dhi[2], aabb_ref[g, c, 2],
-                      aabb_ref[g, c, 5])
-    tn = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, tmin))
-    tf = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, tcap))
-    return tn <= tf
-
-
-def _grouped_nee_kernel(csize: int, group: int, K: int,
-                        g_aabb_ref, c_aabb_ref, tri_hbm, ox_ref, oy_ref,
-                        oz_ref, tmin_ref, ex0_ref, ex1_ref, *rest):
-    """Grouped conditional-DMA variant of the shared-origin NEE sweep.
-
-    Gating is per-lane but direction-UNION: each lane's K shadow rays
-    are bounded by a componentwise direction interval and the widest
-    tcap, so a cluster pays ONE conservative interval-slab test instead
-    of K exact slabs (K=2*light_samples can be 16-24: exact per-dir
-    gates would cost more than the saved Möller-Trumbore work)."""
-    dxs = rest[0:K]
-    dys = rest[K:2 * K]
-    dzs = rest[2 * K:3 * K]
-    tcaps = rest[3 * K:4 * K]
-    hit_refs = rest[4 * K:5 * K]
-    scratch, sem = rest[5 * K], rest[5 * K + 1]
-    g = pl.program_id(1)
-
-    for k in range(K):
-        @pl.when(g == 0)
-        def _init(k=k):
-            hit_refs[k][...] = jnp.zeros((SUB, LANES), jnp.int32)
-
-    ox = ox_ref[...]
-    oy = oy_ref[...]
-    oz = oz_ref[...]
-    tmin = tmin_ref[...]
-    d = [(dxs[k][...], dys[k][...], dzs[k][...]) for k in range(K)]
-    tc = [tcaps[k][...] for k in range(K)]
-    live = [hit_refs[k][...] == 0 for k in range(K)]
-
-    # per-lane union bounds over the K directions / caps; a lane whose
-    # ray k already hit (or has a dead cap) contributes nothing: its cap
-    # is clamped to tmin (empty t interval)
-    def eff_cap(k):
-        return jnp.where(live[k], tc[k], tmin)
-
-    dlo = [d[0][a] for a in range(3)]
-    dhi = [d[0][a] for a in range(3)]
-    tcu = eff_cap(0)
-    for k in range(1, K):
-        for a in range(3):
-            dlo[a] = jnp.minimum(dlo[a], d[k][a])
-            dhi[a] = jnp.maximum(dhi[a], d[k][a])
-        tcu = jnp.maximum(tcu, eff_cap(k))
-
-    # group gate: interval slab against the group AABB (flat [G,8])
-    eps = 1e-20
-
-    def g_axis(o, dl, dh, b0, b1):
-        pos = dl > 0.0
-        neg = dh < 0.0
-        dl_s = jnp.where(jnp.abs(dl) < eps,
-                         jnp.where(dl < 0, -eps, eps), dl)
-        dh_s = jnp.where(jnp.abs(dh) < eps,
-                         jnp.where(dh < 0, -eps, eps), dh)
-        lo_p = jnp.minimum((b0 - o) / dh_s, (b0 - o) / dl_s)
-        hi_p = jnp.maximum((b1 - o) / dh_s, (b1 - o) / dl_s)
-        lo_n = jnp.minimum((b1 - o) / dh_s, (b1 - o) / dl_s)
-        hi_n = jnp.maximum((b0 - o) / dh_s, (b0 - o) / dl_s)
-        lo = jnp.where(pos, lo_p, jnp.where(neg, lo_n, -BIG))
-        hi = jnp.where(pos, hi_p, jnp.where(neg, hi_n, BIG))
-        return lo, hi
-
-    nx, fx = g_axis(ox, dlo[0], dhi[0], g_aabb_ref[g, 0], g_aabb_ref[g, 3])
-    ny, fy = g_axis(oy, dlo[1], dhi[1], g_aabb_ref[g, 1], g_aabb_ref[g, 4])
-    nz, fz = g_axis(oz, dlo[2], dhi[2], g_aabb_ref[g, 2], g_aabb_ref[g, 5])
-    tn = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, tmin))
-    tf = jnp.minimum(jnp.minimum(fx, fy), jnp.minimum(fz, tcu))
-    gbox = tn <= tf
-
-    @pl.when(jnp.any(gbox))
-    def _group_body():
-        ex0 = ex0_ref[...]
-        ex1 = ex1_ref[...]
-        n_oct = group // OCTET
-
-        def octet_step(oc, hits):
-            cboxes = [_interval_slab(c_aabb_ref, 0, oc * OCTET + j,
-                                     ox, oy, oz, dlo, dhi, tmin, tcu)
-                      for j in range(OCTET)]
-            gates = [jnp.any(cb) for cb in cboxes]
-            any8 = gates[0]
-            for j in range(1, OCTET):
-                any8 = any8 | gates[j]
-
-            def octet_body(hits):
-                for j in range(OCTET):
-                    @pl.when(gates[j])
-                    def _start(j=j):
-                        pltpu.make_async_copy(
-                            tri_hbm.at[g * group + oc * OCTET + j],
-                            scratch.at[j], sem.at[j]).start()
-
-                for j in range(OCTET):
-                    def hit_cluster(hits, j=j):
-                        pltpu.make_async_copy(
-                            tri_hbm.at[g * group + oc * OCTET + j],
-                            scratch.at[j], sem.at[j]).wait()
-
-                        def body(i, hits):
-                            v0x = scratch[j, 0, i]
-                            v0y = scratch[j, 1, i]
-                            v0z = scratch[j, 2, i]
-                            e1x = scratch[j, 3, i]
-                            e1y = scratch[j, 4, i]
-                            e1z = scratch[j, 5, i]
-                            e2x = scratch[j, 6, i]
-                            e2y = scratch[j, 7, i]
-                            e2z = scratch[j, 8, i]
-                            tid = scratch[j, 9, i].astype(jnp.int32)
-                            tx = ox - v0x
-                            ty = oy - v0y
-                            tz = oz - v0z
-                            m1x = e2y * e1z - e2z * e1y
-                            m1y = e2z * e1x - e2x * e1z
-                            m1z = e2x * e1y - e2y * e1x
-                            wx = e2y * tz - e2z * ty
-                            wy = e2z * tx - e2x * tz
-                            wz = e2x * ty - e2y * tx
-                            qx = ty * e1z - tz * e1y
-                            qy = tz * e1x - tx * e1z
-                            qz = tx * e1y - ty * e1x
-                            tnum = e2x * qx + e2y * qy + e2z * qz
-                            not_excl = (tid != ex0) & (tid != ex1) \
-                                & (tid >= 0)
-
-                            out = []
-                            for k in range(K):
-                                dx, dy, dz = d[k]
-                                det = dx * m1x + dy * m1y + dz * m1z
-                                s = jnp.where(det < 0.0, -1.0, 1.0)
-                                dd = jnp.abs(det)
-                                un = (dx * wx + dy * wy + dz * wz) * s
-                                vn = (dx * qx + dy * qy + dz * qz) * s
-                                tn = tnum * s
-                                ok = (dd > 1e-12) & (un >= 0.0) \
-                                    & (vn >= 0.0) & (un + vn <= dd) \
-                                    & (tn > tmin * dd) \
-                                    & (tn < tc[k] * dd) & not_excl
-                                out.append(hits[k]
-                                           | ok.astype(jnp.int32))
-                            return tuple(out)
-
-                        return jax.lax.fori_loop(0, csize, body, hits)
-
-                    hits = jax.lax.cond(gates[j], hit_cluster,
-                                        lambda h: h, hits)
-                return hits
-
-            return jax.lax.cond(any8, octet_body, lambda h: h, hits)
-
-        hits = jax.lax.fori_loop(
-            0, n_oct, octet_step,
-            tuple(hit_refs[k][...] for k in range(K)))
-        for k in range(K):
-            hit_refs[k][...] = hits[k]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("n_groups", "K", "interpret"))
-def _run_grouped_nee(g_aabb, c_aabb, tris, shared, dirs_flat, tcaps,
-                     n_groups: int, K: int, interpret: bool = False):
-    csize = tris.shape[2]
-    group = c_aabb.shape[1]
-    nrows = shared[0].shape[0]
-    return pl.pallas_call(
-        functools.partial(_grouped_nee_kernel, csize, group, K),
-        grid=(nrows // SUB, n_groups),
-        in_specs=_grouped_specs(6 + 4 * K, group),
-        out_specs=[_OUT_SPEC] * K,
-        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)] * K,
-        scratch_shapes=[
-            pltpu.SMEM((OCTET, 16, csize), jnp.float32),
-            pltpu.SemaphoreType.DMA((OCTET,)),
-        ],
-        interpret=interpret,
-    )(g_aabb, c_aabb, tris, *shared, *dirs_flat, *tcaps)
-
-
 def closest_hit_grouped_s(cl: ClusterData, rays_s, exclude_prim=None,
                           exclude_prim2=None, interpret=False) -> Hits:
     gd = cl.grouped
@@ -1016,3 +813,131 @@ def closest_hit_grouped_s(cl: ClusterData, rays_s, exclude_prim=None,
     miss = prim < 0
     return Hits(t=jnp.where(miss, -1.0, t), prim=prim,
                 u=u.reshape(-1)[:n], v=v.reshape(-1)[:n])
+
+
+def _grouped_any_kernel(csize: int, group: int,
+                        g_aabb_ref, c_aabb_ref, tri_hbm, ox_ref, oy_ref,
+                        oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tcap_ref,
+                        ex0_ref, ex1_ref, hit_ref, scratch, sem):
+    """Single-direction occlusion sweep with conditional DMA.
+
+    The union-direction NEE slab (the v3 bundle kernel) collapses at
+    multi-million-triangle scale: K spread directions (IBL samples,
+    BSDF-MIS rays) union to the whole sphere, every gate opens, and the
+    sweep degenerates to (all clusters) x 256 x K MT tests per tile —
+    measured SECONDS per launch at 1M tris.  Exact per-direction slabs
+    restore the culling; the NEE bundle becomes K of these sweeps (one
+    direction per tile, so each tile keeps a narrow frustum when the ray
+    origins are pixel-block coherent — render.py blocked ordering)."""
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        hit_ref[...] = jnp.zeros((SUB, LANES), jnp.int32)
+
+    ox = ox_ref[...]
+    oy = oy_ref[...]
+    oz = oz_ref[...]
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    dz = dz_ref[...]
+    tmin = tmin_ref[...]
+    tcap0 = tcap_ref[...]
+    # lanes already occluded get an empty [tmin, tmin] interval
+    tc0 = jnp.where(hit_ref[...] == 0, tcap0, tmin)
+
+    gbox = _slab_test(g_aabb_ref, g, ox, oy, oz, dx, dy, dz, tmin, tc0)
+
+    @pl.when(jnp.any(gbox))
+    def _group_body():
+        ex0 = ex0_ref[...]
+        ex1 = ex1_ref[...]
+        n_oct = group // OCTET
+
+        def octet_step(oc, hit):
+            # lanes occluded earlier in this sweep drop out of the gates
+            tc = jnp.where(hit == 0, tcap0, tmin)
+            cboxes = [_slab_test_dyn(c_aabb_ref, 0, oc * OCTET + j,
+                                     ox, oy, oz, dx, dy, dz, tmin, tc)
+                      for j in range(OCTET)]
+            gates = [jnp.any(cb) for cb in cboxes]
+            any8 = gates[0]
+            for j in range(1, OCTET):
+                any8 = any8 | gates[j]
+
+            def octet_body(hit):
+                for j in range(OCTET):
+                    @pl.when(gates[j])
+                    def _start(j=j):
+                        pltpu.make_async_copy(
+                            tri_hbm.at[g * group + oc * OCTET + j],
+                            scratch.at[j], sem.at[j]).start()
+
+                for j in range(OCTET):
+                    def hit_cluster(hit, j=j):
+                        pltpu.make_async_copy(
+                            tri_hbm.at[g * group + oc * OCTET + j],
+                            scratch.at[j], sem.at[j]).wait()
+                        cbox = cboxes[j]
+
+                        def body(i, hit):
+                            v0x = scratch[j, 0, i]
+                            v0y = scratch[j, 1, i]
+                            v0z = scratch[j, 2, i]
+                            e1x = scratch[j, 3, i]
+                            e1y = scratch[j, 4, i]
+                            e1z = scratch[j, 5, i]
+                            e2x = scratch[j, 6, i]
+                            e2y = scratch[j, 7, i]
+                            e2z = scratch[j, 8, i]
+                            tid = scratch[j, 9, i].astype(jnp.int32)
+                            px = dy * e2z - dz * e2y
+                            py = dz * e2x - dx * e2z
+                            pz = dx * e2y - dy * e2x
+                            det = e1x * px + e1y * py + e1z * pz
+                            s = jnp.where(det < 0.0, -1.0, 1.0)
+                            dd = jnp.abs(det)
+                            tx = ox - v0x
+                            ty = oy - v0y
+                            tz = oz - v0z
+                            un = (tx * px + ty * py + tz * pz) * s
+                            qx = ty * e1z - tz * e1y
+                            qy = tz * e1x - tx * e1z
+                            qz = tx * e1y - ty * e1x
+                            vn = (dx * qx + dy * qy + dz * qz) * s
+                            tn = (e2x * qx + e2y * qy + e2z * qz) * s
+                            ok = (dd > 1e-12) & (un >= 0.0) & (vn >= 0.0) \
+                                & (un + vn <= dd) & (tn > tmin * dd) \
+                                & (tn < tcap0 * dd) & (tid != ex0) \
+                                & (tid != ex1) & (tid >= 0) & cbox
+                            return hit | ok.astype(jnp.int32)
+
+                        return jax.lax.fori_loop(0, csize, body, hit)
+
+                    hit = jax.lax.cond(gates[j], hit_cluster,
+                                       lambda h: h, hit)
+                return hit
+
+            return jax.lax.cond(any8, octet_body, lambda h: h, hit)
+
+        hit_ref[...] = jax.lax.fori_loop(0, n_oct, octet_step, hit_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
+def _run_grouped_any(g_aabb, c_aabb, tris, comps, n_groups: int,
+                     interpret: bool = False):
+    csize = tris.shape[2]
+    group = c_aabb.shape[1]
+    nrows = comps[0].shape[0]
+    return pl.pallas_call(
+        functools.partial(_grouped_any_kernel, csize, group),
+        grid=(nrows // SUB, n_groups),
+        in_specs=_grouped_specs(10, group),
+        out_specs=[_OUT_SPEC],
+        out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((OCTET, 16, csize), jnp.float32),
+            pltpu.SemaphoreType.DMA((OCTET,)),
+        ],
+        interpret=interpret,
+    )(g_aabb, c_aabb, tris, *comps)

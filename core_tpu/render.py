@@ -78,6 +78,46 @@ def _pixel_grid_raster(h, w, spp):
     return xs.reshape(-1), ys.reshape(-1), ss.reshape(-1)
 
 
+# Pixel-block ray ordering for the cluster intersectors: a Pallas ray tile
+# is TILE = 1024 consecutive lanes, and every tile pays (MT tests) for the
+# UNION of clusters overlapped by any of its lanes.  In raster order one
+# tile spans a whole image row — a frustum crossing the entire scene.
+# _BLOCK x _BLOCK pixel blocks make each tile a narrow frustum (the TPU
+# analog of the reference's 32-px tile work units, environment.cc:502),
+# collapsing the per-tile cluster union.  The permutation is undone with
+# pure reshape/transpose before the dense film splat (no gathers), and
+# QMC streams key off (x, y, s) only, so images are bit-identical.
+_BLOCK = 32
+
+
+def _pixel_grid_blocked(h, w, spp, B=_BLOCK):
+    """(s, yblock, xblock, iy, ix)-ordered grid; requires h%B == w%B == 0."""
+    hb, wb = h // B, w // B
+    ss, ybs, xbs, iys, ixs = jnp.meshgrid(
+        jnp.arange(spp, dtype=jnp.int32), jnp.arange(hb, dtype=jnp.int32),
+        jnp.arange(wb, dtype=jnp.int32), jnp.arange(B, dtype=jnp.int32),
+        jnp.arange(B, dtype=jnp.int32), indexing="ij")
+    x = (xbs * B + ixs).reshape(-1)
+    y = (ybs * B + iys).reshape(-1)
+    return x, y, ss.reshape(-1)
+
+
+def _unblock_to_raster(a, spp, h, w, B=_BLOCK):
+    """Blocked-order flat array [spp*h*w, ...] -> raster order."""
+    hb, wb = h // B, w // B
+    rest = a.shape[1:]
+    a = a.reshape((spp, hb, wb, B, B) + rest)
+    a = jnp.moveaxis(a, 3, 2)           # [spp, hb, B, wb, B, ...]
+    return a.reshape((spp * h * w,) + rest)
+
+
+def _block_from_raster2d(m, B=_BLOCK):
+    """[h, w] raster image -> flat blocked order [h*w]."""
+    h, w = m.shape
+    hb, wb = h // B, w // B
+    return m.reshape(hb, B, wb, B).transpose(0, 2, 1, 3).reshape(-1)
+
+
 def _integrator_fn(opts: RenderOptions):
     if opts.integrator == "directlight":
         return direct_mod.integrate
@@ -158,7 +198,11 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
     sample0 = jnp.asarray(sample0, jnp.int32)
     pass_offs = jnp.asarray(pass_offs, jnp.uint32)
     grid_fast = isinstance(y0, int) and y0 == 0 and (rows is None or rows == h)
-    if grid_fast:
+    blocked = (grid_fast and scene.intersector == "cluster"
+               and h % _BLOCK == 0 and w % _BLOCK == 0)
+    if blocked:
+        x, y, s = _pixel_grid_blocked(h, w, spp)
+    elif grid_fast:
         x, y, s = _pixel_grid_raster(h, w, spp)
     else:
         x, y, s = _pixel_grid(rows if rows is not None else h, w, spp, y0=y0)
@@ -258,8 +302,20 @@ def render_chunk(scene, types_present, opts: RenderOptions, film: Film,
                                             n_paths, sample_mask=smask)
     if grid_fast:
         if resample_mask is not None:
-            mask = mask & jnp.broadcast_to(resample_mask,
-                                           (spp, h, w)).reshape(-1)
+            if blocked:
+                mask = mask & jnp.broadcast_to(
+                    _block_from_raster2d(resample_mask),
+                    (spp, h * w)).reshape(-1)
+            else:
+                mask = mask & jnp.broadcast_to(resample_mask,
+                                               (spp, h, w)).reshape(-1)
+        if blocked:
+            # undo the block permutation (pure reshape/transpose) so the
+            # dense splat sees raster order
+            dx = _unblock_to_raster(dx, spp, h, w)
+            dy = _unblock_to_raster(dy, spp, h, w)
+            rgba = _unblock_to_raster(rgba, spp, h, w)
+            mask = _unblock_to_raster(mask, spp, h, w)
         return film_mod.add_samples_grid(
             film, dx, dy, rgba, spp, filterw=filterw,
             ftype=opts.filter_type, sample_mask=mask,
