@@ -49,8 +49,8 @@ def cornell_box(resx=256, resy=256, light_samples=16, light_power=30.0,
                 with_blocks=True, block_materials=("white", "white"),
                 show_light_geo=True, intersector="auto") -> Scene:
     """The Cornell box (driver config #1: directlight, shiny-diffuse,
-    1 area light).  block_materials picks ('white'|'mirror'|'glass'|'glossy')
-    for the short and tall block."""
+    1 area light).  block_materials picks ('white'|'mirror'|'glass'|'glossy'
+    |'blend_diff'|'blend_cross') for the short and tall block."""
     WHITE, RED, GREEN, LIGHTMAT = 0, 1, 2, 3
     mats = [
         MaterialDef(name="white", diffuse_color=(0.75, 0.75, 0.75)),
@@ -79,6 +79,31 @@ def cornell_box(resx=256, resy=256, light_samples=16, light_power=30.0,
                 mats.append(MaterialDef(name="glass", mtype=MatType.GLASS,
                                         ior=1.5, filter_color=(1.0, 1.0, 1.0),
                                         transmit_filter=1.0))
+            elif bm == "blend_diff":
+                # same-family blend: white (+) red shinydiffuse at 0.35
+                # (refgold/driver.cc "blend" mode short block; blend.cc)
+                mats.append(MaterialDef(name="blend_diff",
+                                        mtype=MatType.BLEND,
+                                        sub_mat0=WHITE, sub_mat1=RED,
+                                        blend_val=0.35))
+            elif bm == "blend_cross":
+                # CROSS-family blend: glossy (+) glass at 0.5 — exercises
+                # scene.py's stochastic sub-material pick against the
+                # reference's evaluated-BSDF mixture (blend.cc;
+                # refgold/driver.cc "blend" mode tall block)
+                mats.append(MaterialDef(name="bglossy", mtype=MatType.GLOSSY,
+                                        diffuse_color=(0.3, 0.3, 0.3),
+                                        glossy_color=(0.8, 0.8, 0.8),
+                                        glossy_reflect=0.7, exp_u=120.0,
+                                        exp_v=120.0, as_diffuse=False))
+                mats.append(MaterialDef(name="bglass", mtype=MatType.GLASS,
+                                        ior=1.5, filter_color=(1.0, 1.0, 1.0),
+                                        transmit_filter=1.0))
+                mats.append(MaterialDef(name="blend_cross",
+                                        mtype=MatType.BLEND,
+                                        sub_mat0=len(mats) - 2,
+                                        sub_mat1=len(mats) - 1,
+                                        blend_val=0.5))
             extra[bm] = len(mats) - 1
 
     a = MeshAssembler()

@@ -40,6 +40,7 @@ compile $REF/src/materials/simple.cc p_simplemat.o -DregisterPlugin=registerPlug
 compile $REF/src/materials/mask.cc p_maskmat.o
 compile $REF/src/materials/glossy2.cc p_glossy.o -DregisterPlugin=registerPlugin_glossy
 compile $REF/src/materials/glass.cc p_glass.o -DregisterPlugin=registerPlugin_glass
+compile $REF/src/materials/blend.cc p_blend.o -DregisterPlugin=registerPlugin_blend
 compile $REF/src/lights/arealight.cc p_arealight.o -DregisterPlugin=registerPlugin_arealight
 compile $REF/src/lights/bgportallight.cc p_bgportal.o
 compile $REF/src/lights/meshlight.cc p_meshlight.o

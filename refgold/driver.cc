@@ -36,6 +36,7 @@ void registerPlugin_arealight(renderEnvironment_t &);
 void registerPlugin_cameras(renderEnvironment_t &);
 void registerPlugin_glossy(renderEnvironment_t &);
 void registerPlugin_glass(renderEnvironment_t &);
+void registerPlugin_blend(renderEnvironment_t &);
 }
 
 class goldenIface_t : public yafrayInterface_t {
@@ -126,6 +127,7 @@ int main(int argc, char **argv) {
     registerPlugin_cameras(*env);
     registerPlugin_glossy(*env);
     registerPlugin_glass(*env);
+    registerPlugin_blend(*env);
 
     yi.setVerbosityWarning();
     yi.startScene();
@@ -150,7 +152,8 @@ int main(int argc, char **argv) {
     material_t *lightm = yi.createMaterial("lightmat");
 
     // specular block materials (scenes.py cornell_box block_materials)
-    bool specular_blocks = argc > 8 && std::string(argv[8]) == "specular";
+    std::string blocks_mode = argc > 8 ? argv[8] : "";
+    bool specular_blocks = blocks_mode == "specular" || blocks_mode == "blend";
     material_t *short_mat = white, *tall_mat = white;
     if (specular_blocks) {
         yi.paramsClearAll();
@@ -168,6 +171,24 @@ int main(int argc, char **argv) {
         yi.paramsSetColor("filter_color", 1.f, 1.f, 1.f);
         yi.paramsSetFloat("transmit_filter", 1.0);
         tall_mat = yi.createMaterial("glassmat");
+    }
+    if (blocks_mode == "blend") {
+        // cross-family blend (glossy (+) glass) on the tall block and a
+        // same-family blend (white (+) red shinydiffuse) on the short one
+        // — the blend.cc evaluated-BSDF mixture oracle for
+        // core_tpu/scene.py's blend resolution (round-3 verdict weak #6)
+        yi.paramsClearAll();
+        yi.paramsSetString("type", "blend_mat");
+        yi.paramsSetString("material1", "glossymat");
+        yi.paramsSetString("material2", "glassmat");
+        yi.paramsSetFloat("blend_value", 0.5);
+        tall_mat = yi.createMaterial("blendcross");
+        yi.paramsClearAll();
+        yi.paramsSetString("type", "blend_mat");
+        yi.paramsSetString("material1", "white");
+        yi.paramsSetString("material2", "red");
+        yi.paramsSetFloat("blend_value", 0.35);
+        short_mat = yi.createMaterial("blenddiff");
     }
 
     // --- geometry (scenes.py:78-117) ---
