@@ -79,14 +79,23 @@ GROUPED_MIN_CLUSTERS = 1024     # flat sweep below this (~260k tris)
 
 
 def build_clusters(verts: np.ndarray, tri_vidx: np.ndarray,
-                   max_leaf: int = CLUSTER,
+                   max_leaf: int | None = None,
                    sort_origin=None) -> ClusterData:
     """Axis-median recursive partition into <=max_leaf-tri clusters.
     Above GROUPED_MIN_CLUSTERS the two-level grouped data (v2 kernel,
     conditional DMA) is attached and used automatically; sort_origin
-    (usually the camera position) orders it front-to-back."""
+    (usually the camera position) orders it front-to-back.
+
+    max_leaf None = auto: 256 for flat-sweep scenes, 128 at grouped
+    scale — tighter boxes halve the Möller-Trumbore work per gated
+    cluster, which dominates big-scene sweeps (gate diagnostics put
+    the per-tile cluster union at ~200 for spread NEE directions);
+    128 is also the Pallas lane-dim floor for the SMEM triangle block."""
     verts = np.asarray(verts, np.float32)
     tri_vidx = np.asarray(tri_vidx, np.int32)
+    if max_leaf is None:
+        max_leaf = 128 if tri_vidx.shape[0] >= GROUPED_MIN_CLUSTERS * CLUSTER \
+            else CLUSTER
     v0 = verts[tri_vidx[:, 0]]
     v1 = verts[tri_vidx[:, 1]]
     v2 = verts[tri_vidx[:, 2]]
@@ -429,15 +438,58 @@ def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
         # spread NEE directions opens every gate (see _grouped_any_kernel
         # docstring), so per-direction exact culling wins by orders of
         # magnitude even though the shared-origin MT terms are recomputed.
+        #
+        # RANK PACKING: a tile's gate union is ruined by its most grazing
+        # rays (their slab interval stays open across the whole scene), so
+        # each lane's K directions are sorted by steepness (|d.y| desc)
+        # and sweep r takes every lane's r-th steepest ray — the grazing
+        # rays concentrate in the last sweeps instead of polluting all K.
+        # Pure elementwise K^2 selects (no lane gathers); results are
+        # unsorted the same way, so the output is bit-identical.
         gd = cl.grouped
-        hits = []
-        for k in range(K):
-            comps = shared[:3] + (dirs_flat[k], dirs_flat[K + k],
-                                  dirs_flat[2 * K + k], shared[3],
-                                  tcap_rows[k], shared[4], shared[5])
-            (h,) = _run_grouped_any(gd.g_aabb, gd.c_aabb, gd.tris, comps,
-                                    gd.g_aabb.shape[0], interpret=interpret)
-            hits.append(h)
+        if K > 1:
+            key = jnp.stack([-jnp.abs(v.y) for v in dirs])     # [K, n]
+            order = jnp.argsort(key, axis=0)                   # [K, n] i32
+
+            def pick(arrs, r):
+                acc = arrs[0]
+                for k in range(1, K):
+                    acc = jnp.where(order[r] == k, arrs[k], acc)
+                return acc
+
+            dxs = [v.x for v in dirs]
+            dys = [v.y for v in dirs]
+            dzs = [v.z for v in dirs]
+            tcs = [t for t in tcaps]
+            sdirs = [(pick(dxs, r), pick(dys, r), pick(dzs, r))
+                     for r in range(K)]
+            stcaps = [pick(tcs, r) for r in range(K)]
+        else:
+            order = None
+            sdirs = [(dirs[0].x, dirs[0].y, dirs[0].z)]
+            stcaps = [tcaps[0]]
+        slot_hits = []
+        for r in range(K):
+            comps = shared[:3] + (rows(sdirs[r][0], fill=1.0),
+                                  rows(sdirs[r][1]), rows(sdirs[r][2]),
+                                  shared[3],
+                                  rows(jnp.where(stcaps[r] > 0, stcaps[r],
+                                                 BIG), fill=-1.0),
+                                  shared[4], shared[5])
+            (h,) = _run_grouped_any(gd.g_aabb, gd.c_aabb, gd.o_aabb,
+                                    gd.tris, comps, gd.g_aabb.shape[0],
+                                    interpret=interpret)
+            slot_hits.append(h.reshape(-1)[:n])
+        if order is None:
+            hits_n = slot_hits
+        else:
+            hits_n = []
+            for k in range(K):
+                acc = jnp.zeros_like(slot_hits[0])
+                for r in range(K):
+                    acc = acc | jnp.where(order[r] == k, slot_hits[r], 0)
+                hits_n.append(acc)
+        return jnp.concatenate(hits_n) > 0
     else:
         hits = _run_clusters_any_nee(cl.aabb, cl.tris, shared, dirs_flat,
                                      tcap_rows, cl.n_clusters, K,
@@ -538,7 +590,7 @@ def any_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
     if cl.grouped is not None:
         gd = cl.grouped
         comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
-        (hit,) = _run_grouped_any(gd.g_aabb, gd.c_aabb, gd.tris, comps,
+        (hit,) = _run_grouped_any(gd.g_aabb, gd.c_aabb, gd.o_aabb, gd.tris, comps,
                                   gd.g_aabb.shape[0], interpret=interpret)
         return hit.reshape(-1)[:n] > 0
     comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
@@ -572,6 +624,10 @@ OCTET = 8               # clusters gated per scalar reduce (DMA slots)
 class GroupedData(NamedTuple):
     g_aabb: jnp.ndarray     # [G, 8] group AABBs
     c_aabb: jnp.ndarray     # [G, GROUP, 8] cluster AABBs (pads inverted)
+    o_aabb: jnp.ndarray     # [G, GROUP//OCTET, 8] octet-union AABBs:
+                            # ONE slab + ONE scalar any-reduce gates 8
+                            # clusters (the scalar reduces, ~300 cycles
+                            # each, dominate gating cost otherwise)
     tris: jnp.ndarray       # [G * GROUP, 16, CLUSTER] HBM-resident,
                             # field-major (v0 xyz, e1 xyz, e2 xyz, id,
                             # 6 pad rows): the manual-DMA slice must be
@@ -626,8 +682,13 @@ def group_clusters(cl: ClusterData, group: int = GROUP,
     g_aabb = np.zeros((G, 8), np.float32)
     g_aabb[:, 0:3] = c_aabb[:, :, 0:3].min(axis=1)
     g_aabb[:, 3:6] = c_aabb[:, :, 3:6].max(axis=1)
+    oc = c_aabb.reshape(G, group // OCTET, OCTET, 8)
+    o_aabb = np.zeros((G, group // OCTET, 8), np.float32)
+    o_aabb[:, :, 0:3] = oc[:, :, :, 0:3].min(axis=2)
+    o_aabb[:, :, 3:6] = oc[:, :, :, 3:6].max(axis=2)
     return GroupedData(g_aabb=jnp.asarray(g_aabb),
                        c_aabb=jnp.asarray(c_aabb),
+                       o_aabb=jnp.asarray(o_aabb),
                        tris=jnp.asarray(tris))
 
 
@@ -650,12 +711,18 @@ def _slab_test_dyn(aabb_ref, g, c, ox, oy, oz, dx, dy, dz, tmin, tcap):
     return tn <= tf
 
 
-def _grouped_kernel(csize: int, group: int,
-                    g_aabb_ref, c_aabb_ref, tri_hbm, ox_ref, oy_ref, oz_ref,
+def _grouped_kernel(csize: int, group: int, perm_ref,
+                    g_aabb_ref, c_aabb_ref, o_aabb_ref, tri_hbm,
+                    ox_ref, oy_ref, oz_ref,
                     dx_ref, dy_ref, dz_ref, tmin_ref, tcap_ref, ex0_ref,
                     ex1_ref, t_ref, prim_ref, u_ref, v_ref,
                     scratch, sem):
+    # per-TILE group visit order (scalar-prefetched [tiles, G] i32, see
+    # _tile_group_perm): near-origin groups first, so the tcap=min(best_t)
+    # gate closes for every tile's own wavefront — true per-tile
+    # front-to-back, which a static global order cannot give bounce rays
     g = pl.program_id(1)
+    gi = perm_ref[pl.program_id(0), g]
 
     @pl.when(g == 0)
     def _init():
@@ -673,7 +740,7 @@ def _grouped_kernel(csize: int, group: int,
     tmin = tmin_ref[...]
     tlim = tcap_ref[...]
 
-    gbox = _slab_test(g_aabb_ref, g, ox, oy, oz, dx, dy, dz, tmin,
+    gbox = _slab_test(g_aabb_ref, gi, ox, oy, oz, dx, dy, dz, tmin,
                       jnp.minimum(tlim, t_ref[...]))
 
     @pl.when(jnp.any(gbox))
@@ -685,29 +752,33 @@ def _grouped_kernel(csize: int, group: int,
         def octet_step(oc, carry):
             bt0 = carry[0]
             tc = jnp.minimum(tlim, bt0)
-            cboxes = [_slab_test_dyn(c_aabb_ref, 0, oc * OCTET + j,
-                                     ox, oy, oz, dx, dy, dz, tmin, tc)
-                      for j in range(OCTET)]
-            gates = [jnp.any(cb) for cb in cboxes]
-            any8 = gates[0]
-            for j in range(1, OCTET):
-                any8 = any8 | gates[j]
+            # octet-union AABB gate: ONE slab + ONE scalar any-reduce for
+            # 8 clusters; the per-cluster slabs/gates (8 more reduces)
+            # run only inside a passing octet — scalar reduces (~300
+            # cycles each) dominate gating cost otherwise
+            obox = _slab_test_dyn(o_aabb_ref, 0, oc,
+                                  ox, oy, oz, dx, dy, dz, tmin, tc)
+            any8 = jnp.any(obox)
 
             def octet_body(carry):
+                cboxes = [_slab_test_dyn(c_aabb_ref, 0, oc * OCTET + j,
+                                         ox, oy, oz, dx, dy, dz, tmin, tc)
+                          for j in range(OCTET)]
+                gates = [jnp.any(cb) for cb in cboxes]
                 # start every gated cluster's DMA up front (one slot per
                 # cluster) so the copies overlap the MT loops below
                 for j in range(OCTET):
                     @pl.when(gates[j])
                     def _start(j=j):
                         pltpu.make_async_copy(
-                            tri_hbm.at[g * group + oc * OCTET + j],
+                            tri_hbm.at[gi * group + oc * OCTET + j],
                             scratch.at[j], sem.at[j]).start()
 
                 for j in range(OCTET):
                     def hit_cluster(c2, j=j):
                         bt, bp, bu, bv = c2
                         pltpu.make_async_copy(
-                            tri_hbm.at[g * group + oc * OCTET + j],
+                            tri_hbm.at[gi * group + oc * OCTET + j],
                             scratch.at[j], sem.at[j]).wait()
                         cbox = cboxes[j]
 
@@ -767,46 +838,87 @@ def _grouped_kernel(csize: int, group: int,
 
 
 def _grouped_specs(n_rays: int, group: int):
-    spec = pl.BlockSpec((SUB, LANES), lambda i, g: (i, 0),
+    # index_maps receive the scalar-prefetch perm ref as the trailing arg;
+    # the c_aabb block follows the PER-TILE group order so the kernel's
+    # local cluster indices stay 0..group-1
+    spec = pl.BlockSpec((SUB, LANES), lambda i, g, perm: (i, 0),
                         memory_space=pltpu.VMEM)
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),                  # g_aabb
-        pl.BlockSpec((1, group, 8), lambda i, g: (g, 0, 0),
+        pl.BlockSpec((1, group, 8), lambda i, g, perm: (perm[i, g], 0, 0),
                      memory_space=pltpu.SMEM),                  # c_aabb
+        pl.BlockSpec((1, group // OCTET, 8),
+                     lambda i, g, perm: (perm[i, g], 0, 0),
+                     memory_space=pltpu.SMEM),                  # o_aabb
         pl.BlockSpec(memory_space=pltpu.HBM),                   # tris
     ] + [spec] * n_rays
 
 
+_OUT_SPEC_G = pl.BlockSpec((SUB, LANES), lambda i, g, perm: (i, 0),
+                           memory_space=pltpu.VMEM)
+
+
+def _tile_group_perm(comps, g_aabb):
+    """[tiles, G] per-tile group visit order: ascending distance from the
+    tile's ray-origin centroid to each group AABB.  Under pixel-block ray
+    ordering a tile's origins are spatially tight, so this is the per-tile
+    analog of kd-tree front-to-back traversal: closest-hit tiles shrink
+    tcap fastest, shadow tiles occlude (and drop out of the gates) on the
+    near geometry first.  Pure jnp (runs inside jit); inverted pad boxes
+    sort last (infinite distance)."""
+    ox, oy, oz = comps[0], comps[1], comps[2]
+    tiles = ox.shape[0] // SUB
+
+    def cent(a):
+        return a.reshape(tiles, -1).mean(axis=1)
+
+    cx, cy, cz = cent(ox), cent(oy), cent(oz)
+
+    def axis_d(c, b0, b1):
+        return jnp.maximum(jnp.maximum(b0[None, :] - c[:, None],
+                                       c[:, None] - b1[None, :]), 0.0)
+
+    dx = axis_d(cx, g_aabb[:, 0], g_aabb[:, 3])
+    dy = axis_d(cy, g_aabb[:, 1], g_aabb[:, 4])
+    dz = axis_d(cz, g_aabb[:, 2], g_aabb[:, 5])
+    dist = dx * dx + dy * dy + dz * dz
+    return jnp.argsort(dist, axis=1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
-def _run_grouped(g_aabb, c_aabb, tris, comps, n_groups: int,
+def _run_grouped(g_aabb, c_aabb, o_aabb, tris, comps, n_groups: int,
                  interpret: bool = False):
     csize = tris.shape[2]
     group = c_aabb.shape[1]
     nrows = comps[0].shape[0]
+    perm = _tile_group_perm(comps, g_aabb)
     return pl.pallas_call(
         functools.partial(_grouped_kernel, csize, group),
-        grid=(nrows // SUB, n_groups),
-        in_specs=_grouped_specs(10, group),
-        out_specs=[_OUT_SPEC] * 4,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nrows // SUB, n_groups),
+            in_specs=_grouped_specs(10, group),
+            out_specs=[_OUT_SPEC_G] * 4,
+            scratch_shapes=[
+                pltpu.SMEM((OCTET, 16, csize), jnp.float32),
+                pltpu.SemaphoreType.DMA((OCTET,)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((nrows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((nrows, LANES), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.SMEM((OCTET, 16, csize), jnp.float32),
-            pltpu.SemaphoreType.DMA((OCTET,)),
-        ],
         interpret=interpret,
-    )(g_aabb, c_aabb, tris, *comps)
+    )(perm, g_aabb, c_aabb, o_aabb, tris, *comps)
 
 
 def closest_hit_grouped_s(cl: ClusterData, rays_s, exclude_prim=None,
                           exclude_prim2=None, interpret=False) -> Hits:
     gd = cl.grouped
     comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
-    t, prim, u, v = _run_grouped(gd.g_aabb, gd.c_aabb, gd.tris, comps,
+    t, prim, u, v = _run_grouped(gd.g_aabb, gd.c_aabb, gd.o_aabb, gd.tris, comps,
                                  gd.g_aabb.shape[0], interpret=interpret)
     t = t.reshape(-1)[:n]
     prim = prim.reshape(-1)[:n]
@@ -815,8 +927,9 @@ def closest_hit_grouped_s(cl: ClusterData, rays_s, exclude_prim=None,
                 u=u.reshape(-1)[:n], v=v.reshape(-1)[:n])
 
 
-def _grouped_any_kernel(csize: int, group: int,
-                        g_aabb_ref, c_aabb_ref, tri_hbm, ox_ref, oy_ref,
+def _grouped_any_kernel(csize: int, group: int, perm_ref,
+                        g_aabb_ref, c_aabb_ref, o_aabb_ref, tri_hbm,
+                        ox_ref, oy_ref,
                         oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tcap_ref,
                         ex0_ref, ex1_ref, hit_ref, scratch, sem):
     """Single-direction occlusion sweep with conditional DMA.
@@ -828,8 +941,14 @@ def _grouped_any_kernel(csize: int, group: int,
     measured SECONDS per launch at 1M tris.  Exact per-direction slabs
     restore the culling; the NEE bundle becomes K of these sweeps (one
     direction per tile, so each tile keeps a narrow frustum when the ray
-    origins are pixel-block coherent — render.py blocked ordering)."""
+    origins are pixel-block coherent — render.py blocked ordering).
+
+    Groups are visited in the scalar-prefetched per-tile near-to-far
+    order (_tile_group_perm): shadow lanes occlude on the geometry
+    nearest their own origins first, then drop out of every later
+    gate."""
     g = pl.program_id(1)
+    gi = perm_ref[pl.program_id(0), g]
 
     @pl.when(g == 0)
     def _init():
@@ -846,7 +965,7 @@ def _grouped_any_kernel(csize: int, group: int,
     # lanes already occluded get an empty [tmin, tmin] interval
     tc0 = jnp.where(hit_ref[...] == 0, tcap0, tmin)
 
-    gbox = _slab_test(g_aabb_ref, g, ox, oy, oz, dx, dy, dz, tmin, tc0)
+    gbox = _slab_test(g_aabb_ref, gi, ox, oy, oz, dx, dy, dz, tmin, tc0)
 
     @pl.when(jnp.any(gbox))
     def _group_body():
@@ -857,26 +976,28 @@ def _grouped_any_kernel(csize: int, group: int,
         def octet_step(oc, hit):
             # lanes occluded earlier in this sweep drop out of the gates
             tc = jnp.where(hit == 0, tcap0, tmin)
-            cboxes = [_slab_test_dyn(c_aabb_ref, 0, oc * OCTET + j,
-                                     ox, oy, oz, dx, dy, dz, tmin, tc)
-                      for j in range(OCTET)]
-            gates = [jnp.any(cb) for cb in cboxes]
-            any8 = gates[0]
-            for j in range(1, OCTET):
-                any8 = any8 | gates[j]
+            # octet-union AABB gate (one slab + one scalar reduce for 8
+            # clusters; see _grouped_kernel)
+            obox = _slab_test_dyn(o_aabb_ref, 0, oc,
+                                  ox, oy, oz, dx, dy, dz, tmin, tc)
+            any8 = jnp.any(obox)
 
             def octet_body(hit):
+                cboxes = [_slab_test_dyn(c_aabb_ref, 0, oc * OCTET + j,
+                                         ox, oy, oz, dx, dy, dz, tmin, tc)
+                          for j in range(OCTET)]
+                gates = [jnp.any(cb) for cb in cboxes]
                 for j in range(OCTET):
                     @pl.when(gates[j])
                     def _start(j=j):
                         pltpu.make_async_copy(
-                            tri_hbm.at[g * group + oc * OCTET + j],
+                            tri_hbm.at[gi * group + oc * OCTET + j],
                             scratch.at[j], sem.at[j]).start()
 
                 for j in range(OCTET):
                     def hit_cluster(hit, j=j):
                         pltpu.make_async_copy(
-                            tri_hbm.at[g * group + oc * OCTET + j],
+                            tri_hbm.at[gi * group + oc * OCTET + j],
                             scratch.at[j], sem.at[j]).wait()
                         cbox = cboxes[j]
 
@@ -924,20 +1045,24 @@ def _grouped_any_kernel(csize: int, group: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
-def _run_grouped_any(g_aabb, c_aabb, tris, comps, n_groups: int,
+def _run_grouped_any(g_aabb, c_aabb, o_aabb, tris, comps, n_groups: int,
                      interpret: bool = False):
     csize = tris.shape[2]
     group = c_aabb.shape[1]
     nrows = comps[0].shape[0]
+    perm = _tile_group_perm(comps, g_aabb)
     return pl.pallas_call(
         functools.partial(_grouped_any_kernel, csize, group),
-        grid=(nrows // SUB, n_groups),
-        in_specs=_grouped_specs(10, group),
-        out_specs=[_OUT_SPEC],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nrows // SUB, n_groups),
+            in_specs=_grouped_specs(10, group),
+            out_specs=[_OUT_SPEC_G],
+            scratch_shapes=[
+                pltpu.SMEM((OCTET, 16, csize), jnp.float32),
+                pltpu.SemaphoreType.DMA((OCTET,)),
+            ],
+        ),
         out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)],
-        scratch_shapes=[
-            pltpu.SMEM((OCTET, 16, csize), jnp.float32),
-            pltpu.SemaphoreType.DMA((OCTET,)),
-        ],
         interpret=interpret,
-    )(g_aabb, c_aabb, tris, *comps)
+    )(perm, g_aabb, c_aabb, o_aabb, tris, *comps)
