@@ -36,11 +36,27 @@ Cost model: DMA = C x 10 KB per 1024-ray tile (fully overlapped); compute
 Measured (v5e, 143k-tri scene, 256x256 direct-light chunk = 65k primary
 + 524k shadow lanes): 2.07 s/chunk vs 19.4 s for the per-ray jnp BVH
 walk (9.4x) with identical images; host cluster build 0.5 s for 143k
-tris.  Known next step: per-tile front-to-back cluster ordering can't
-exist in a lockstep grid, so residual cost is (clusters overlapped by
-any lane) x 256 tests — a second level of @pl.when group culling with
-manual conditional DMA (pltpu.make_async_copy from HBM) is the planned
-v2 for multi-million-triangle scenes.
+tris.
+
+Multi-million-triangle scenes use the GROUPED path (v2-v4, second half
+of this file): clusters grouped 64-at-a-time, triangle blocks HBM-
+resident and DMA'd only on a passing gate (pltpu.make_async_copy),
+octet-union AABBs so one slab + one scalar reduce gates 8 clusters,
+a scalar-prefetched PER-TILE group visit order (each ray tile sweeps
+near-origin groups first — the lockstep-grid answer to kd-tree
+front-to-back), and per-lane direction RANK PACKING for NEE bundles
+(grazing shadow rays concentrate into the last sweeps).  Ray tiles
+must be spatially coherent to gate well: render.py orders camera
+wavefronts in 32x32 pixel blocks (one block = one Pallas tile).
+
+Measured (v5e, 1.017M-tri big_scene, 1024^2 direct-light chunk,
+ibl 4 + sun 2): camera closest-hit 130 ms (8.1 Mrays/s), full chunk
+58.3 -> 38.6 s across v4 (identical images); profile splits ~72% NEE
+sweeps / 26% shading fusions / 1% closest-hit.  The NEE floor is set
+by genuinely-grazing shadow rays whose slabs overlap O(scene-width /
+cluster-width) boxes — per-ray work a kd-tree also pays, plus the
+lockstep union cost over each 1024-lane tile, which is the remaining
+structural gap to per-ray traversal.
 """
 from __future__ import annotations
 
