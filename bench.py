@@ -29,6 +29,13 @@ import json
 import os
 import time
 
+# persistent compile cache: repeat bench runs skip the remote-TPU
+# compiles (~20 s for the IBL CDF build alone)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 import numpy as np
 import jax
 import jax.numpy as jnp

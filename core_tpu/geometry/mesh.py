@@ -181,9 +181,16 @@ class MeshAssembler:
             nT = faces.shape[0]
             corner_n, smooth = _smooth_normals(verts, faces, smooth_angle)
             uvs = np.zeros((nT, 3, 2), np.float32)
-            for i, fu in enumerate(face_uvs):
-                if fu is not None:
-                    uvs[i] = np.asarray([uv_pool[j] for j in fu], np.float32)
+            if len(face_uvs) and uv_pool:
+                pool = np.asarray(uv_pool, np.float32).reshape(-1, 2)
+                if all(fu is not None for fu in face_uvs):
+                    # vectorized fast path: the per-face python loop costs
+                    # ~40 s at 1M faces (big_scene)
+                    uvs = pool[np.asarray(face_uvs, np.int64)]
+                else:
+                    for i, fu in enumerate(face_uvs):
+                        if fu is not None:
+                            uvs[i] = pool[list(fu)]
             all_v.append(verts)
             all_f.append(faces + v_off)
             all_cn.append(corner_n)
