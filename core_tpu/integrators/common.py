@@ -130,9 +130,10 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
             contrib = contrib * vec.v3(att)
             ok = active & ls.valid
         else:
+            # dead caps on inactive lanes (see the NEE bundle below)
             ray = RaysS(o=sps.p, d=ls.wi,
                         tmin=jnp.full_like(ls.dist, SHADOW_BIAS),
-                        tmax=ls.dist - SHADOW_BIAS)
+                        tmax=_shadow_tcap(active & ls.valid, ls.dist))
             shadowed = scene_mod.any_hit_s(scene, ray, exclude_prim=sps.prim)
             ok = active & ls.valid & (~shadowed)
         return where3(ok, contrib, 0.0)
@@ -214,8 +215,12 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
                 l_shadowed = jnp.zeros_like(ls.valid)
                 b_shadowed = jnp.zeros_like(ls.valid)
             else:
-                l_tcap = _shadow_tcap(ls.valid, ls.dist)
-                b_tcap = _shadow_tcap(lh.valid, lh.t)
+                # inactive lanes (masked shading points, e.g. dead chain
+                # lanes whose surface record is garbage) must get dead
+                # caps too, or they open big-scene cluster gates from
+                # arbitrary origins
+                l_tcap = _shadow_tcap(activeb & ls.valid, ls.dist)
+                b_tcap = _shadow_tcap(activeb & lh.valid, lh.t)
                 shad = scene_mod.any_hit_nee_s(
                     scene, sps.p, tmin_nee,
                     slices3(ls.wi) + slices3(sres.wi),
@@ -250,7 +255,7 @@ def do_light_estimation_s(scene, types_present, p, sps, wo: V3, light,
                 contrib = contrib * vec.v3(att)
                 shadowed = jnp.zeros_like(ls.valid)
             else:
-                l_tcap = _shadow_tcap(ls.valid, ls.dist)
+                l_tcap = _shadow_tcap(activeb & ls.valid, ls.dist)
                 shadowed = scene_mod.any_hit_nee_s(
                     scene, sps.p, tmin_nee, slices3(ls.wi),
                     slices1(l_tcap), exclude_prim=sps.prim)
