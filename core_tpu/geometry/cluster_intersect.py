@@ -51,9 +51,9 @@ wavefronts in 32x32 pixel blocks (one block = one Pallas tile).
 
 Measured (v5e, 1.017M-tri big_scene, 1024^2 direct-light chunk,
 ibl 4 + sun 2): camera closest-hit 130 ms (8.1 Mrays/s), full chunk
-58.3 -> 38.6 s across v4 (identical images); profile splits ~72% NEE
-sweeps / 26% shading fusions / 1% closest-hit.  The NEE floor is set
-by genuinely-grazing shadow rays whose slabs overlap O(scene-width /
+58.3 -> 14.5 s across round 4 (kernel v4 38.6, + dead caps for masked
+NEE lanes 24.3, + gather-free noise 14.5).  The NEE floor is set by
+genuinely-grazing shadow rays whose slabs overlap O(scene-width /
 cluster-width) boxes — per-ray work a kd-tree also pays, plus the
 lockstep union cost over each 1024-lane tile, which is the remaining
 structural gap to per-ray traversal.
