@@ -94,6 +94,19 @@ class ClusterData(NamedTuple):
 GROUPED_MIN_CLUSTERS = 1024     # flat sweep below this (~260k tris)
 
 
+def _resolve_interpret(interpret):
+    """interpret=None -> interpret off on TPU, on elsewhere: compiled
+    Pallas TPU kernels cannot lower on the CPU backend, and the CPU CI
+    exercises the cluster paths through the plain scene API (which has
+    no interpret plumbing)."""
+    if interpret is not None:
+        return interpret
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except RuntimeError:
+        return True
+
+
 def build_clusters(verts: np.ndarray, tri_vidx: np.ndarray,
                    max_leaf: int | None = None,
                    sort_origin=None) -> ClusterData:
@@ -424,9 +437,10 @@ def _run_clusters_any_nee(aabb, tris, shared, dirs_flat, tcaps,
 
 def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
                            exclude_prim=None, exclude_prim2=None,
-                           interpret=False):
+                           interpret=None):
     """Shared-origin NEE occlusion bundle over the cluster accel.  Same
     contract as pallas_intersect.any_hit_nee_pallas_s."""
+    interpret = _resolve_interpret(interpret)
     K = len(dirs)
     n = tmin.shape[0]
     pad = (-n) % TILE
@@ -586,7 +600,8 @@ def _prep_soa(rays_s, exclude_prim, exclude_prim2):
 
 
 def closest_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
-                           exclude_prim2=None, interpret=False) -> Hits:
+                           exclude_prim2=None, interpret=None) -> Hits:
+    interpret = _resolve_interpret(interpret)
     if cl.grouped is not None:
         return closest_hit_grouped_s(cl, rays_s, exclude_prim=exclude_prim,
                                      exclude_prim2=exclude_prim2,
@@ -602,7 +617,8 @@ def closest_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
 
 
 def any_hit_clusters_s(cl: ClusterData, rays_s, exclude_prim=None,
-                       exclude_prim2=None, interpret=False):
+                       exclude_prim2=None, interpret=None):
+    interpret = _resolve_interpret(interpret)
     if cl.grouped is not None:
         gd = cl.grouped
         comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
@@ -931,7 +947,8 @@ def _run_grouped(g_aabb, c_aabb, o_aabb, tris, comps, n_groups: int,
 
 
 def closest_hit_grouped_s(cl: ClusterData, rays_s, exclude_prim=None,
-                          exclude_prim2=None, interpret=False) -> Hits:
+                          exclude_prim2=None, interpret=None) -> Hits:
+    interpret = _resolve_interpret(interpret)
     gd = cl.grouped
     comps, n = _prep_soa(rays_s, exclude_prim, exclude_prim2)
     t, prim, u, v = _run_grouped(gd.g_aabb, gd.c_aabb, gd.o_aabb, gd.tris, comps,

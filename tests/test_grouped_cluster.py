@@ -85,3 +85,33 @@ def test_grouped_nee_bundle_matches_flat(grouped_pair):
     ng = ck.any_hit_nee_clusters_s(clg, o, tmin, dirs, tcaps,
                                    interpret=True)
     np.testing.assert_array_equal(np.asarray(nf), np.asarray(ng))
+
+
+def test_blocked_adaptive_resample_matches_brute():
+    """Adaptive-AA passes on a cluster scene exercise the BLOCKED
+    resample-mask path (render.py _block_from_raster2d): the blocked
+    pixel permutation must agree with the mask layout, or resampled
+    pixels land in the wrong blocks.  Brute rendering of the same scene
+    is the oracle (identical QMC streams -> identical images)."""
+    import dataclasses
+    import numpy as np
+    from core_tpu.scenes import mesh_scene
+    from core_tpu.render import RenderOptions, render_image
+    from core_tpu.integrators.direct import DirectOptions
+    from core_tpu.geometry.cluster_intersect import build_clusters
+
+    sc = mesh_scene(resx=64, resy=64, n_grid=24, torus_u=16, torus_v=8,
+                    ibl_samples=1, sun_samples=1)
+    opts = RenderOptions(integrator="directlight",
+                         integrator_opts=DirectOptions(raydepth=1),
+                         aa_passes=2, aa_samples=2, aa_inc_samples=2,
+                         aa_threshold=0.01)
+    accel = build_clusters(np.asarray(sc.geom.verts),
+                           np.asarray(sc.geom.tri_vidx),
+                           sort_origin=np.asarray(sc.camera.pos))
+    sc_c = dataclasses.replace(sc, intersector="cluster", accel=accel)
+    sc_b = dataclasses.replace(sc, intersector="brute", accel=None)
+    img_c, _ = render_image(sc_c, opts)
+    img_b, _ = render_image(sc_b, opts)
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_b),
+                               atol=5e-5)
