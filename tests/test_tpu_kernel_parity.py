@@ -94,10 +94,51 @@ def test_cluster_any_hit_nee_compiled_matches_interpret():
     np.testing.assert_array_equal(np.asarray(got_c), np.asarray(got_i))
 
 
+def test_grouped_compiled_matches_interpret():
+    """Grouped conditional-DMA kernels (closest + NEE sweeps), compiled
+    vs interpret on TPU — grouping forced onto the small mesh scene
+    exactly like the CPU tier (tests/test_grouped_cluster.py)."""
+    from core_tpu.scenes import mesh_scene
+    from core_tpu.geometry import cluster_intersect as ck
+    from core_tpu import vec
+
+    sc = mesh_scene(resx=8, resy=8, n_grid=40, torus_u=24, torus_v=12,
+                    ibl_samples=2, sun_samples=1)
+    cl = ck.build_clusters(np.asarray(sc.geom.verts),
+                           np.asarray(sc.geom.tri_vidx))
+    clg = cl._replace(grouped=ck.group_clusters(
+        cl, group=8, sort_origin=np.asarray(sc.camera.pos)))
+    rng = np.random.default_rng(11)
+    n = 2048
+    o = vec.V3(jnp.asarray(rng.uniform(-3, 3, n).astype(np.float32)),
+               jnp.asarray(rng.uniform(0.2, 3.0, n).astype(np.float32)),
+               jnp.asarray(rng.uniform(-3, 3, n).astype(np.float32)))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = vec.RaysS(o=o, d=vec.v3(jnp.asarray(d)),
+                     tmin=jnp.full(n, 5e-4), tmax=jnp.full(n, -1.0))
+    hc = ck.closest_hit_grouped_s(clg, rays, interpret=False)
+    hi = ck.closest_hit_grouped_s(clg, rays, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hc.prim), np.asarray(hi.prim))
+
+    dirs, tcaps = [], []
+    for cap in (50.0, -1.0, 3.0):
+        dd = rng.normal(size=(n, 3)).astype(np.float32)
+        dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+        dirs.append(vec.v3(jnp.asarray(dd)))
+        tcaps.append(jnp.full(n, cap))
+    nc = ck.any_hit_nee_clusters_s(clg, o, jnp.full(n, 5e-4), dirs, tcaps,
+                                   interpret=False)
+    ni = ck.any_hit_nee_clusters_s(clg, o, jnp.full(n, 5e-4), dirs, tcaps,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(nc), np.asarray(ni))
+
+
 if __name__ == "__main__":
     # standalone TPU runner (bypasses the CPU-forcing conftest)
     for t in (test_pallas_brute_any_hit_compiled_matches_interpret,
               test_pallas_closest_hit_compiled_matches_interpret,
-              test_cluster_any_hit_nee_compiled_matches_interpret):
+              test_cluster_any_hit_nee_compiled_matches_interpret,
+              test_grouped_compiled_matches_interpret):
         t()
         print(f"{t.__name__}: ok")
