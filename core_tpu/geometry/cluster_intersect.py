@@ -450,18 +450,20 @@ def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
         return jnp.pad(a, ((0, pad),), constant_values=fill) \
             .reshape(npad // LANES, LANES)
 
+    def rows_edge(a):
+        # origins pad with the last real value (not 0) so the pad lanes
+        # don't skew the final partial tile's centroid in _tile_group_perm
+        return jnp.pad(a, ((0, pad),), mode="edge") \
+            .reshape(npad // LANES, LANES)
+
     ex0 = exclude_prim if exclude_prim is not None \
         else jnp.full(n, -2, jnp.int32)
     ex1 = exclude_prim2 if exclude_prim2 is not None \
         else jnp.full(n, -2, jnp.int32)
-    shared = (rows(o3.x), rows(o3.y), rows(o3.z),
+    shared = (rows_edge(o3.x), rows_edge(o3.y), rows_edge(o3.z),
               rows(tmin, fill=BIG),
               rows(ex0.astype(jnp.int32), fill=-2),
               rows(ex1.astype(jnp.int32), fill=-2))
-    dirs_flat = ([rows(v.x, fill=1.0) for v in dirs]
-                 + [rows(v.y) for v in dirs]
-                 + [rows(v.z) for v in dirs])
-    tcap_rows = [rows(jnp.where(t > 0, t, BIG), fill=-1.0) for t in tcaps]
     if cl.grouped is not None:
         # K independent single-direction sweeps (exact slabs) instead of
         # the union-direction bundle: at grouped scale the union of K
@@ -521,6 +523,11 @@ def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
                 hits_n.append(acc)
         return jnp.concatenate(hits_n) > 0
     else:
+        dirs_flat = ([rows(v.x, fill=1.0) for v in dirs]
+                     + [rows(v.y) for v in dirs]
+                     + [rows(v.z) for v in dirs])
+        tcap_rows = [rows(jnp.where(t > 0, t, BIG), fill=-1.0)
+                     for t in tcaps]
         hits = _run_clusters_any_nee(cl.aabb, cl.tris, shared, dirs_flat,
                                      tcap_rows, cl.n_clusters, K,
                                      interpret=interpret)
@@ -585,12 +592,19 @@ def _prep_soa(rays_s, exclude_prim, exclude_prim2):
         return jnp.pad(a, ((0, pad),),
                        constant_values=fill).reshape(npad // LANES, LANES)
 
+    def rows_edge(a):
+        # edge-pad origins: keeps _tile_group_perm's last-tile centroid
+        # on the real rays instead of averaging in zeros
+        return jnp.pad(a, ((0, pad),), mode="edge") \
+            .reshape(npad // LANES, LANES)
+
     tcap = jnp.where(rays_s.tmax > 0, rays_s.tmax, BIG)
     ex0 = exclude_prim if exclude_prim is not None \
         else jnp.full(n, -2, jnp.int32)
     ex1 = exclude_prim2 if exclude_prim2 is not None \
         else jnp.full(n, -2, jnp.int32)
-    comps = (rows(rays_s.o.x), rows(rays_s.o.y), rows(rays_s.o.z),
+    comps = (rows_edge(rays_s.o.x), rows_edge(rays_s.o.y),
+             rows_edge(rays_s.o.z),
              rows(rays_s.d.x, fill=1.0), rows(rays_s.d.y),
              rows(rays_s.d.z),
              rows(rays_s.tmin, fill=BIG), rows(tcap, fill=-1.0),

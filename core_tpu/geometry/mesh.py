@@ -181,7 +181,11 @@ class MeshAssembler:
             nT = faces.shape[0]
             corner_n, smooth = _smooth_normals(verts, faces, smooth_angle)
             uvs = np.zeros((nT, 3, 2), np.float32)
-            if len(face_uvs) and uv_pool:
+            has_uv_faces = any(fu is not None for fu in face_uvs)
+            have_pool = uv_pool is not None and len(uv_pool)
+            if has_uv_faces and not have_pool:
+                raise ValueError("mesh has per-face UV indices but no UV pool")
+            if len(face_uvs) and have_pool:
                 pool = np.asarray(uv_pool, np.float32).reshape(-1, 2)
                 if all(fu is not None for fu in face_uvs):
                     # vectorized fast path: the per-face python loop costs

@@ -29,6 +29,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.golden
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 

@@ -23,6 +23,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.golden
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
@@ -227,8 +229,8 @@ def test_blend_same_family_block_region(dl_blend_pair):
     from the golden's red-excess footprint) must match in mean AND show
     the reference's red tint (R > G from the 0.35 red blend weight)."""
     img, ref = dl_blend_pair
-    m = img[31:40, 33:43, :3]   # fixture crops 2px border: shift by -2
-    r = ref[31:40, 33:43, :3]
+    m = img[31:41, 33:43, :3]   # fixture crops 2px border: shift by -2
+    r = ref[31:41, 33:43, :3]
     assert abs(m.mean() - r.mean()) / r.mean() < 0.05, (m.mean(), r.mean())
     assert (m[..., 0] - m[..., 1]).mean() > 0.0
     assert (r[..., 0] - r[..., 1]).mean() > 0.0
