@@ -62,10 +62,16 @@ def illum_sample(light: AreaLight, sp, s1, s2) -> LightSample:
         + s2[..., None] * light.to_y[None]
     ldir = p - sp.p
     dist2 = jnp.sum(ldir * ldir, axis=-1)
-    dist = jnp.sqrt(dist2)
-    wi = ldir / jnp.maximum(dist[..., None], 1e-12)
+    # double-where: shading points ON the quad (emitter self-lighting,
+    # masked by valid below) would otherwise send sqrt'(0)=inf into the
+    # light-geometry gradients (corner/to_x/to_y are differentiable
+    # leaves, diff.py)
+    ok = dist2 > 1e-12
+    safe2 = jnp.where(ok, dist2, 1.0)
+    dist = jnp.where(ok, jnp.sqrt(safe2), 0.0)
+    wi = ldir * jnp.where(ok, 1.0 / jnp.sqrt(safe2), 0.0)[..., None]
     cos_angle = dot(wi, light.fnormal[None])
-    valid = (dist > 0.0) & (cos_angle > 0.0)
+    valid = ok & (cos_angle > 0.0)
     pdf = dist2 * np.pi / jnp.maximum(light.area * cos_angle, 1e-12)
     col = jnp.broadcast_to(light.color, wi.shape)
     return LightSample(valid=valid, wi=wi, dist=dist, col=col, pdf=pdf)
@@ -80,10 +86,12 @@ def intersect_light(light: AreaLight, rays) -> LightHit:
     (arealight.cc:139-155): two triangles (corner,c2,c3) and (corner,c3,c4)."""
     cos_angle = dot(rays.d, light.fnormal[None])
     n = light.fnormal[None]
-    denom = cos_angle
-    # plane intersection
-    t = dot(light.corner[None] - rays.o, n) / jnp.where(
-        jnp.abs(denom) < 1e-12, 1e-12, denom)
+    # double-where: near-parallel rays (|cos| ~ 0) make t ~ 1e12+ whose
+    # BACKWARD second-order terms overflow to inf*0=nan in the
+    # light-geometry gradients; sanitize the whole masked branch
+    okp = jnp.abs(cos_angle) > 1e-9
+    denom = jnp.where(okp, cos_angle, 1.0)
+    t = jnp.where(okp, dot(light.corner[None] - rays.o, n) / denom, -1.0)
     p = rays.o + rays.d * t[..., None]
     rel = p - light.corner[None]
     # decompose rel into (to_x, to_y) coordinates via normal equations
@@ -96,9 +104,12 @@ def intersect_light(light: AreaLight, rays) -> LightHit:
     a = (rx * yy - ry * xy) / jnp.maximum(det, 1e-20)
     b = (ry * xx - rx * xy) / jnp.maximum(det, 1e-20)
     inside = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
-    valid = (cos_angle > 0.0) & inside & (t > 1e-10)
+    # see intersect_light_s: finite masked branch in both directions
+    tok = t > 1e-4
+    t_safe = jnp.where(tok, t, 1.0)
+    valid = okp & (cos_angle > 0.0) & inside & tok
     ipdf = jnp.where(valid,
-                     light.area * cos_angle / jnp.maximum(t * t, 1e-20) / np.pi,
+                     light.area * cos_angle / (t_safe * t_safe) / np.pi,
                      0.0)
     col = jnp.broadcast_to(light.color, rays.d.shape)
     return LightHit(valid=valid, t=jnp.where(valid, t, -1.0), col=col, ipdf=ipdf)
@@ -116,11 +127,15 @@ def illum_sample_s(light: AreaLight, sp, s1, s2):
            c[2] + s1 * tx[2] + s2 * ty[2])
     ldir = p - sp.p
     dist2 = dot3(ldir, ldir)
-    dist = jnp.sqrt(dist2)
-    wi = ldir * (1.0 / jnp.maximum(dist, 1e-12))
+    # double-where against sqrt'(0)=inf in light-geometry gradients
+    # (see illum_sample above)
+    ok = dist2 > 1e-12
+    safe2 = jnp.where(ok, dist2, 1.0)
+    dist = jnp.where(ok, jnp.sqrt(safe2), 0.0)
+    wi = ldir * jnp.where(ok, 1.0 / jnp.sqrt(safe2), 0.0)
     fn = splat3(light.fnormal)
     cos_angle = dot3(wi, fn)
-    valid = (dist > 0.0) & (cos_angle > 0.0)
+    valid = ok & (cos_angle > 0.0)
     pdf = dist2 * np.pi / jnp.maximum(light.area * cos_angle, 1e-12)
     col = splat3(light.color, like=dist)
     return LightSampleS(valid=valid, wi=wi, dist=dist, col=col, pdf=pdf)
@@ -132,9 +147,12 @@ def intersect_light_s(light: AreaLight, rays):
     from core_tpu.lights.base import LightHitS
     fn = splat3(light.fnormal)
     cos_angle = dot3(rays.d, fn)
-    denom = jnp.where(jnp.abs(cos_angle) < 1e-12, 1e-12, cos_angle)
+    # double-where against near-parallel backward overflow (see
+    # intersect_light above)
+    okp = jnp.abs(cos_angle) > 1e-9
+    denom = jnp.where(okp, cos_angle, 1.0)
     corner = splat3(light.corner)
-    t = dot3(corner - rays.o, fn) / denom
+    t = jnp.where(okp, dot3(corner - rays.o, fn) / denom, -1.0)
     p = rays.o + rays.d * t
     rel = p - corner
     txv = splat3(light.to_x)
@@ -148,9 +166,14 @@ def intersect_light_s(light: AreaLight, rays):
     a = (rx * yy - ry * xy) / jnp.maximum(det, 1e-20)
     b = (ry * xx - rx * xy) / jnp.maximum(det, 1e-20)
     inside = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
-    valid = (cos_angle > 0.0) & inside & (t > 1e-10)
+    # t floor well above 0: emitter-surface self-hits (t ~ bias) put
+    # 1/t^3 factors in the backward pass; 1e-4 is sub-micron at scene
+    # scale and keeps the masked branch finite in both directions
+    tok = t > 1e-4
+    t_safe = jnp.where(tok, t, 1.0)
+    valid = okp & (cos_angle > 0.0) & inside & tok
     ipdf = jnp.where(valid,
-                     light.area * cos_angle / jnp.maximum(t * t, 1e-20) / np.pi,
+                     light.area * cos_angle / (t_safe * t_safe) / np.pi,
                      0.0)
     col = splat3(light.color, like=t)
     return LightHitS(valid=valid, t=jnp.where(valid, t, -1.0), col=col,

@@ -111,6 +111,13 @@ def test_inverse_recovery_step_descends():
     for _ in range(5):
         loss, g = vg(params)
         losses.append(float(loss))
-        params = jax.tree_util.tree_map(
-            lambda p, gg: jnp.clip(p - 0.1 * gg, 0.0, None), params, g)
+        # clip projection applies to physically-nonnegative params only
+        # (colors/strengths); geometry leaves (light corners, offsets)
+        # are signed and take a plain step
+        params = {
+            k: (jnp.clip(p - 0.1 * g[k], 0.0, None)
+                if k.startswith("mat.") or k.endswith(".color")
+                else p - 0.1 * g[k])
+            for k, p in params.items()
+        }
     assert losses[-1] < losses[0] * 0.25, losses
