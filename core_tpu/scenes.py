@@ -300,3 +300,92 @@ def mesh_scene(resx=256, resy=256, n_grid=160, torus_u=180, torus_v=64,
                                 up=(5.2, 4.4, -5.6), resx=resx, resy=resy,
                                 focal=1.25)
     return b.compile_scene()
+
+
+def golden_mesh_scene(resx=128, resy=128, ibl_samples=8, asset_dir=None):
+    """The EXACT scene of refgold/driver_ms.cc (BASELINE config #3
+    golden): torus (48x24 quads, R=1.2 r=0.5, center (0,1.5,0), UVs
+    x-tiled 3x, smooth 80 deg) + 24x24 ground quad (UV 0..6), both with
+    a checker.tga diffuse through a texture_mapper(texco=uv) shader
+    node, lit solely by a sky.tga textureback with ibl=True (the
+    auto-created bglight importance CDF, reference bglight.cc:82-107).
+    Assets: refgold/assets (make_assets.py)."""
+    import os
+    from core_tpu.environment import SceneBuilder
+    from core_tpu.params import ParamMap
+    if asset_dir is None:
+        asset_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "refgold", "assets")
+
+    b = SceneBuilder()
+    b.create("texture", "checktex", ParamMap({
+        "type": "image",
+        "filename": os.path.join(asset_dir, "checker.tga"),
+        "gamma": 1.0, "interpolate": "bilinear"}))
+    b.create("texture", "skytex", ParamMap({
+        "type": "image",
+        "filename": os.path.join(asset_dir, "sky.tga"),
+        "gamma": 1.0, "interpolate": "bilinear"}))
+
+    def mapper(nm):
+        return [ParamMap({"element": "shader_node", "name": nm,
+                          "type": "texture_mapper", "texture": "checktex",
+                          "texco": "uv"})]
+
+    b.create("material", "ball", ParamMap({
+        "type": "shinydiffusemat", "color": (1.0, 1.0, 1.0),
+        "diffuse_reflect": 0.9, "diffuse_shader": "map_ball"}),
+        extra=mapper("map_ball"))
+    b.create("material", "ground", ParamMap({
+        "type": "shinydiffusemat", "color": (1.0, 1.0, 1.0),
+        "diffuse_reflect": 0.8, "diffuse_shader": "map_gnd"}),
+        extra=mapper("map_gnd"))
+
+    a = b.assembler
+    U, V = 48, 24
+    R, r, cy = 1.2, 0.5, 1.5
+    ball_mat = b.material_index("ball")
+    m = a.start_mesh()
+    vid = {}
+    uvid = {}
+    for i in range(U + 1):
+        u = 2.0 * np.pi * i / U
+        for j in range(V + 1):
+            v = 2.0 * np.pi * j / V
+            x = (R + r * np.cos(v)) * np.cos(u)
+            z = (R + r * np.cos(v)) * np.sin(u)
+            y = cy + r * np.sin(v)
+            vid[(i, j)] = a.add_vertex(m, x, y, z)
+            uvid[(i, j)] = a.add_uv(m, 3.0 * i / U, j / V)
+    for i in range(U):
+        for j in range(V):
+            p, q = vid[(i, j)], vid[(i + 1, j)]
+            s, t = vid[(i + 1, j + 1)], vid[(i, j + 1)]
+            up, uq = uvid[(i, j)], uvid[(i + 1, j)]
+            us, ut = uvid[(i + 1, j + 1)], uvid[(i, j + 1)]
+            a.add_triangle(m, p, q, s, ball_mat, uv_ids=(up, uq, us))
+            a.add_triangle(m, p, s, t, ball_mat, uv_ids=(up, us, ut))
+    a.smooth_mesh(m, 80.0)
+
+    gnd_mat = b.material_index("ground")
+    m2 = a.start_mesh()
+    E, T = 12.0, 6.0
+    v0 = a.add_vertex(m2, -E, 0.0, -E)
+    v1 = a.add_vertex(m2, E, 0.0, -E)
+    v2 = a.add_vertex(m2, E, 0.0, E)
+    v3 = a.add_vertex(m2, -E, 0.0, E)
+    u0 = a.add_uv(m2, 0.0, 0.0)
+    u1 = a.add_uv(m2, T, 0.0)
+    u2 = a.add_uv(m2, T, T)
+    u3 = a.add_uv(m2, 0.0, T)
+    a.add_triangle(m2, v0, v1, v2, gnd_mat, uv_ids=(u0, u1, u2))
+    a.add_triangle(m2, v0, v2, v3, gnd_mat, uv_ids=(u0, u2, u3))
+
+    b.create("background", "world", ParamMap({
+        "type": "textureback", "texture": "skytex", "ibl": True,
+        "ibl_samples": ibl_samples, "power": 1.0}))
+
+    b.camera = make_perspective(pos=(6.0, 3.2, -7.5), look=(0.0, 1.8, 0.0),
+                                up=(6.0, 4.2, -7.5), resx=resx, resy=resy,
+                                focal=1.1)
+    return b.compile_scene()

@@ -281,15 +281,21 @@ def _eval_one_float(d: TextureDef, p):
 
 
 def _bilinear_tap(img, h, w, slot, u, v):
-    """One bilinear fetch from a [K,H,W,4] level at normalized (u,v)."""
-    fx = u * (w.astype(jnp.float32) - 1.0)
-    fy = v * (h.astype(jnp.float32) - 1.0)
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y0 = jnp.floor(fy).astype(jnp.int32)
+    """One bilinear fetch from a [K,H,W,4] level, mirroring the
+    reference's interpolateImage (imagetex.cc:48-92) exactly: implicit
+    frac() wrap, pixel centers at (i+0.5)/res (the -0.5 shift), the C
+    (int) truncation-toward-zero quirk at the low border, +1-clamped
+    neighbor taps."""
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    xf = wf * (u - jnp.floor(u)) - 0.5
+    yf = hf * (v - jnp.floor(v)) - 0.5
+    x0 = jnp.clip(xf.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(yf.astype(jnp.int32), 0, h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    tx = (fx - x0.astype(jnp.float32))[..., None]
-    ty = (fy - y0.astype(jnp.float32))[..., None]
+    tx = (xf - jnp.floor(xf))[..., None]
+    ty = (yf - jnp.floor(yf))[..., None]
     c00 = img[slot, y0, x0]
     c01 = img[slot, y0, x1]
     c10 = img[slot, y1, x0]
@@ -309,33 +315,42 @@ def _eval_image(d: TextureDef, tset: TextureSet, uv, lod=None):
     slot = getattr(d, "_atlas_slot", 0)
     h = tset.atlas_hw[slot, 0]
     w = tset.atlas_hw[slot, 1]
+    # reference getNoGammaColor flips V for EVERY image lookup
+    # (imagetex.cc:133 p1=(p.x,-p.y,p.z), i.e. v -> 1-v after doMapping's
+    # 0.5p+0.5): image row 0 is the TOP of the picture while UV v=0 is
+    # the bottom (round-5 mesh+IBL golden caught the missing flip)
     u = uv[..., 0] * d.xrepeat
-    v = uv[..., 1] * d.yrepeat
+    v = (1.0 - uv[..., 1]) * d.yrepeat
     mode = d.clip_mode
     inside = jnp.ones(u.shape, bool)
     if mode == "repeat" or mode == "checker":
-        u = u - jnp.floor(u)
-        v = v - jnp.floor(v)
+        # wrap happens inside the taps' frac() (imagetex.cc:55-56)
+        pass
     elif mode == "extend":
-        u = jnp.clip(u, 0.0, 1.0)
-        v = jnp.clip(v, 0.0, 1.0)
+        u = jnp.clip(u, 0.0, 0.99999)
+        v = jnp.clip(v, 0.0, 0.99999)
     else:  # clip / clipcube
         inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
         u = jnp.clip(u, 0.0, 1.0)
         v = jnp.clip(v, 0.0, 1.0)
-    fx = u * (w.astype(jnp.float32) - 1.0)
-    fy = v * (h.astype(jnp.float32) - 1.0)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
     if d.interpolate == "none":
-        xi = jnp.round(fx).astype(jnp.int32)
-        yi = jnp.round(fy).astype(jnp.int32)
+        # no -0.5 shift in the point-sampled path (imagetex.cc:55-64)
+        xi = jnp.clip((wf * (u - jnp.floor(u))).astype(jnp.int32),
+                      0, w - 1)
+        yi = jnp.clip((hf * (v - jnp.floor(v))).astype(jnp.int32),
+                      0, h - 1)
         out = tset.atlas[slot, yi, xi]
     elif d.interpolate == "bicubic":
         # 4x4 cubic (reference imagetex.cc INTP_BICUBIC via
         # utilities/interpolation.h CubicInterpolate)
-        x1 = jnp.floor(fx).astype(jnp.int32)
-        y1i = jnp.floor(fy).astype(jnp.int32)
-        tx = (fx - x1.astype(jnp.float32))[..., None]
-        ty = (fy - y1i.astype(jnp.float32))[..., None]
+        xf = wf * (u - jnp.floor(u)) - 0.5
+        yf = hf * (v - jnp.floor(v)) - 0.5
+        x1 = jnp.clip(xf.astype(jnp.int32), 0, w - 1)
+        y1i = jnp.clip(yf.astype(jnp.int32), 0, h - 1)
+        tx = (xf - jnp.floor(xf))[..., None]
+        ty = (yf - jnp.floor(yf))[..., None]
 
         def cubic(y0, y1, y2, y3, mu):
             a0 = y3 - y2 - y0 + y1

@@ -47,8 +47,27 @@ compile $REF/src/lights/meshlight.cc p_meshlight.o
 compile $REF/src/cameras/architectCamera.cc p_cam_arch.o -DregisterPlugin=registerPlugin_cameras
 compile $REF/src/cameras/perspectiveCamera.cc p_cam_persp.o
 
+# mesh+IBL golden driver TUs (textures, nodes, image handler, background)
+compile $REF/src/textures/basictex.cc p_textures.o -DregisterPlugin=registerPlugin_textures
+compile $REF/src/textures/imagetex.cc p_imagetex.o
+compile $REF/src/textures/basicnodes.cc p_nodes.o -DregisterPlugin=registerPlugin_nodes
+compile $REF/src/textures/layernode.cc p_layernode.o
+compile $REF/src/textures/noise.cc p_noise.o
+compile $REF/src/image_handlers/tgaHandler.cc p_tga.o -DregisterPlugin=registerPlugin_tga
+compile $REF/src/backgrounds/textureback.cc p_textureback.o -DregisterPlugin=registerPlugin_textureback
+compile $REF/src/lights/bglight.cc p_bglight.o -DregisterPlugin=registerPlugin_bglight
+
 compile driver.cc driver.o
+compile driver_ms.cc driver_ms.o
 wait
 
-$CXX -O2 -o $OUT/refdriver "${objs[@]}" -lpthread -ldl
-echo "built $OUT/refdriver"
+common=()
+for o in "${objs[@]}"; do
+  case "$o" in
+    */driver.o|*/driver_ms.o) ;;
+    *) common+=("$o") ;;
+  esac
+done
+$CXX -O2 -o $OUT/refdriver $OUT/driver.o "${common[@]}" -lpthread -ldl
+$CXX -O2 -o $OUT/refdriver_ms $OUT/driver_ms.o "${common[@]}" -lpthread -ldl
+echo "built $OUT/refdriver $OUT/refdriver_ms"
