@@ -59,7 +59,9 @@ def _shade_hit(scene, types_present, rays, hits, pixel_sample, sampling_offs,
     if diff is not None:
         from core_tpu.differentials import texture_lod
         lod = texture_lod(scene, sp, rays, diff[0], diff[1])
-    p = scene_mod.material_params(scene, sp, lod=lod)
+    pick = (np.uint32(9781) * pixel_sample.astype(jnp.uint32)
+            + sampling_offs)
+    p = scene_mod.material_params(scene, sp, lod=lod, pick_seed=pick)
     wo = -rays.d
     active = hits.valid
 

