@@ -44,7 +44,8 @@ class PhotonMap(NamedTuple):
 
 def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
                   seed: int, mode: str,
-                  scene_center, scene_radius, with_surface: bool = False):
+                  scene_center, scene_radius, with_surface: bool = False,
+                  start_index=0, power_norm: int | None = None):
     """Trace a photon wavefront; returns per-deposit arrays
     (pos, power, dirn, valid) of shape [(max_bounces+1) * n_photons, ...].
     with_surface=True appends (normal, albedo) per deposit — the surface
@@ -84,7 +85,13 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
     assert n_lights > 0
     # seed may be a traced scalar (SPPM threads its pass index in so each
     # pass shoots a fresh photon population, sppm.cc prePass per-pass QMC)
+    # start_index/power_norm: device-sharded shooting (sharding.py
+    # render_sppm_rowsharded) — shard k traces photons
+    # [k*m, (k+1)*m) of the SAME global QMC stream and normalizes by the
+    # total population, so the merged map is identical to one device
+    # shooting power_norm photons
     base = (jnp.arange(n_photons, dtype=jnp.uint32)
+            + jnp.asarray(start_index, jnp.uint32)
             + jnp.asarray(seed, jnp.uint32) * np.uint32(77771))
 
     s1 = qmc.ri_vdc(base)
@@ -108,7 +115,8 @@ def shoot_photons(scene, types_present, n_photons: int, max_bounces: int,
         ipdf = jnp.where(m, lip, ipdf)
 
     # photon power (mcintegrator.cc:262): col * ipdf * nLights / nPhotons
-    power = col * (ipdf * n_lights / n_photons)[..., None]
+    power = col * (ipdf * n_lights
+                   / (power_norm or n_photons))[..., None]
     alive = jnp.ones(n_photons, bool)
     direct = jnp.ones(n_photons, bool)     # photonintegr.cc:254
     caustic = jnp.zeros(n_photons, bool)   # photonintegr.cc:253
