@@ -149,10 +149,15 @@ def integrate(scene, rays: Rays, hits_t, pixel_sample, sampling_offs,
         trans = jnp.ones(rays.o.shape, jnp.float32)
         vcol = jnp.zeros(rays.o.shape, jnp.float32)
         for i in range(opts.steps):
-            t = t0 + (i + 0.5) * dt
+            # sample at the step START and include the CURRENT step's
+            # extinction in the accumulated transmittance before adding
+            # its in-scatter — the reference's exact loop shape
+            # (SingleScatterIntegrator.cc:415-460: stepTau += sigma_t *
+            # step; trTmp = exp(-stepTau); result += trTmp * ... * step)
+            t = t0 + i * dt
             p = rays.o + rays.d * t[..., None]
             st = vr.sigma_t(vol, p)
-            step_tr = jnp.exp(-st * dt[..., None])
+            trans = trans * jnp.exp(-st * dt[..., None])
             vcol = vcol + trans * vr.emission(vol, p) * dt[..., None]
             if opts.integrator == "singlescatter":
                 ss = vr.sigma_s(vol, p)
@@ -176,16 +181,26 @@ def integrate(scene, rays: Rays, hits_t, pixel_sample, sampling_offs,
                     else:
                         ltr = transmittance(scene, sray,
                                             steps=max(4, opts.steps // 4))
-                    ph = vr.phase_hg(vol, -ls.wi, -rays.d)
+                    # NO phase factor: the reference's single-scatter
+                    # never evaluates VolumeRegion::p() — getInScatter
+                    # returns sum(lightTr * lcol / pdf) and each step
+                    # adds trTmp * inScatter * sigma_s * step
+                    # (SingleScatterIntegrator.cc:152-280,460).  The
+                    # round-5 volume golden measured the physically-
+                    # normalized HG/(4pi) factor 12.6x darker than the
+                    # oracle, so parity means matching the convention.
                     contrib = ss * ls.col * ltr \
-                        * (ph / jnp.maximum(ls.pdf, 1e-12))[..., None]
+                        / jnp.maximum(ls.pdf, 1e-12)[..., None]
                     ok = ls.valid & (~shadowed) & hit
                     vcol = vcol + jnp.where(ok[..., None],
                                             trans * contrib * dt[..., None],
                                             0.0)
-            trans = trans * step_tr
         col = col + jnp.where(hit[..., None], vcol, 0.0)
-    return col
+    # the reference CLAMPS the in-scatter to [0,1] before returning
+    # ("povman test: clamping all color values to right range",
+    # SingleScatterIntegrator.cc:484 clampRGBA01) — bright shafts
+    # saturate at 1.0 in TheBounty and the golden encodes that
+    return jnp.clip(col, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------

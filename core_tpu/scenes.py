@@ -389,3 +389,41 @@ def golden_mesh_scene(resx=128, resy=128, ibl_samples=8, asset_dir=None):
                                 up=(6.0, 4.2, -7.5), resx=resx, resy=resy,
                                 focal=1.1)
     return b.compile_scene()
+
+
+def golden_volume_scene(resx=128, resy=128):
+    """The EXACT scene of refgold/driver_vol.cc (volume-integrator
+    golden): gray 20x20 ground, UniformVolume box [-2,2]x[0,4]x[-2,2]
+    (sigma_s 0.05, sigma_a 0.01), one 30-deg spotlight at (0,6,0)
+    aimed straight down — the visible light shaft.  Render with
+    VolumeOptions(integrator='singlescatter', step_size=0.2)."""
+    from core_tpu.environment import SceneBuilder
+    from core_tpu.params import ParamMap
+
+    b = SceneBuilder()
+    b.create("material", "gray", ParamMap({
+        "type": "shinydiffusemat", "color": (0.6, 0.6, 0.6)}))
+    a = b.assembler
+    m = a.start_mesh()
+    gray = b.material_index("gray")
+    v0 = a.add_vertex(m, -10.0, 0.0, -10.0)
+    v1 = a.add_vertex(m, 10.0, 0.0, -10.0)
+    v2 = a.add_vertex(m, 10.0, 0.0, 10.0)
+    v3 = a.add_vertex(m, -10.0, 0.0, 10.0)
+    a.add_triangle(m, v0, v1, v2, gray)
+    a.add_triangle(m, v0, v2, v3, gray)
+
+    b.create("volumeregion", "fog", ParamMap({
+        "type": "UniformVolume", "sigma_s": 0.05, "sigma_a": 0.01,
+        "l_e": 0.0, "g": 0.0,
+        "minX": -2.0, "minY": 0.0, "minZ": -2.0,
+        "maxX": 2.0, "maxY": 4.0, "maxZ": 2.0}))
+    b.create("light", "spot", ParamMap({
+        "type": "spotlight", "from": (0.0, 6.0, 0.0), "to": (0.0, 0.0, 0.0),
+        "color": (1.0, 1.0, 1.0), "power": 200.0, "cone_angle": 30.0,
+        "blend": 0.15}))
+
+    b.camera = make_perspective(pos=(5.0, 2.5, -6.0), look=(0.0, 1.5, 0.0),
+                                up=(5.0, 3.5, -6.0), resx=resx, resy=resy,
+                                focal=1.2)
+    return b.compile_scene()

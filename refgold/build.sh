@@ -57,17 +57,23 @@ compile $REF/src/image_handlers/tgaHandler.cc p_tga.o -DregisterPlugin=registerP
 compile $REF/src/backgrounds/textureback.cc p_textureback.o -DregisterPlugin=registerPlugin_textureback
 compile $REF/src/lights/bglight.cc p_bglight.o -DregisterPlugin=registerPlugin_bglight
 
+compile $REF/src/lights/spotlight.cc p_spotlight.o -DregisterPlugin=registerPlugin_spotlight
+compile $REF/src/volumes/UniformVolume.cc p_uniformvol.o -DregisterPlugin=registerPlugin_uniformvol
+compile $REF/src/integrators/SingleScatterIntegrator.cc p_singlescatter.o -DregisterPlugin=registerPlugin_singlescatter
+
 compile driver.cc driver.o
 compile driver_ms.cc driver_ms.o
+compile driver_vol.cc driver_vol.o
 wait
 
 common=()
 for o in "${objs[@]}"; do
   case "$o" in
-    */driver.o|*/driver_ms.o) ;;
+    */driver.o|*/driver_ms.o|*/driver_vol.o) ;;
     *) common+=("$o") ;;
   esac
 done
 $CXX -O2 -o $OUT/refdriver $OUT/driver.o "${common[@]}" -lpthread -ldl
 $CXX -O2 -o $OUT/refdriver_ms $OUT/driver_ms.o "${common[@]}" -lpthread -ldl
-echo "built $OUT/refdriver $OUT/refdriver_ms"
+$CXX -O2 -o $OUT/refdriver_vol $OUT/driver_vol.o "${common[@]}" -lpthread -ldl
+echo "built $OUT/refdriver $OUT/refdriver_ms $OUT/refdriver_vol"
