@@ -95,16 +95,29 @@ def test_sppm_matches_reference(cornell64):
     assert q50 < 0.12, f"sppm block median rel {q50}"
 
 
+# Independent float64 ground truth for the cornell64 scene's image energy
+# (refgold/arbiter64.py: brute-force numpy float64 path tracer written
+# from scratch, system radiometric convention, NEE + cosine bounces).
+# Reproduce with: JAX_PLATFORMS=cpu PYTHONPATH=. \
+#     python refgold/arbiter64.py 192 8 64
+# -> energy=0.652373 se=0.000939 (bounces-8 truncation adds <~1% tail).
+ARBITER64_ENERGY = 0.6524
+
+
 def test_bidirectional_structure_and_energy(cornell64):
     """BDPT: block structure correlates with the reference golden; the
-    absolute energy is arbitered against core_tpu's own path tracer at
-    matched path depth (the reference bidir loses energy even against
-    its own path tracer — comparing means against it would enforce a
-    known defect)."""
+    absolute energy is arbitered against an INDEPENDENT float64 brute-
+    force ground truth (round-4 verdict weak #5 closure — previously the
+    band was +-25% against core_tpu's own path tracer.  The reference
+    golden cannot arbitrate energy: its bidir renders 20% darker than
+    its own path tracer).
+
+    Measured on this box: bd full-image mean 0.686 = +5.1% over the
+    arbiter (part of which is the arbiter's bounce-8 truncation); band
+    set at +-10%."""
     from core_tpu.render import render_image, RenderOptions
     from core_tpu.film import FilterType
     from core_tpu.integrators.bidir import BidirOptions
-    from core_tpu.integrators.path import PathOptions
     ref = _load_pooled("bd_128x128_64spp")
     opts = RenderOptions(integrator="bidirectional",
                          integrator_opts=BidirOptions(do_light_image=False),
@@ -116,13 +129,6 @@ def test_bidirectional_structure_and_energy(cornell64):
     # documented: the reference bidir is dark; core_tpu lands above it
     assert 0.1 <= rel <= 0.6, f"bd-vs-ref energy rel {rel}"
 
-    # energy arbiter: own path tracer, bounces 6 ~ eye3+light3 coverage
-    opts_pt = RenderOptions(
-        integrator="pathtracing",
-        integrator_opts=PathOptions(path_samples=8, bounces=6, raydepth=0),
-        aa_samples=4, spp_chunk=2, filter_size=1.0,
-        filter_type=FilterType.BOX)
-    pt, _ = render_image(cornell64, opts_pt)
-    m = np.asarray(img)[2:-2, 2:-2, :3].mean()
-    p = np.asarray(pt)[2:-2, 2:-2, :3].mean()
-    assert abs(m - p) / p < 0.25, f"bd {m} vs own pt {p}"
+    m = np.asarray(img)[..., :3].mean()
+    gap = abs(m - ARBITER64_ENERGY) / ARBITER64_ENERGY
+    assert gap < 0.10, f"bd {m} vs float64 arbiter {ARBITER64_ENERGY}"
