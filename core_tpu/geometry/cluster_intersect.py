@@ -52,11 +52,20 @@ wavefronts in 32x32 pixel blocks (one block = one Pallas tile).
 Measured (v5e, 1.017M-tri big_scene, 1024^2 direct-light chunk,
 ibl 4 + sun 2): camera closest-hit 130 ms (8.1 Mrays/s), full chunk
 58.3 -> 14.5 s across round 4 (kernel v4 38.6, + dead caps for masked
-NEE lanes 24.3, + gather-free noise 14.5).  The NEE floor is set by
-genuinely-grazing shadow rays whose slabs overlap O(scene-width /
-cluster-width) boxes — per-ray work a kd-tree also pays, plus the
-lockstep union cost over each 1024-lane tile, which is the remaining
-structural gap to per-ray traversal.
+NEE lanes 24.3, + gather-free noise 14.5), 14.5 -> 9.6 s in round 5
+(v5 global NEE re-bucketing + per-tile done flag; profile: occlusion
+sweeps 8.3 s, closest-hit 0.47 s, sorts 0.29 s, shading ~0.5 s).
+
+Round-5 structural finding (measured, gate-count diagnostics over the
+captured 8.4M-lane IBL bundle): after re-bucketing, a tile's mean gated
+clusters is 158.8 (p99 1364) — ~20x the per-ray ideal (~8).  The gap is
+POPULATION-LIMITED, not key-limited: tiles of 1024 lanes can only be as
+coherent as 8.4M rays spread over (direction x origin) allow; every
+finer direction binning tried (16x16, 32x32, interleaved, origin-major)
+measured WORSE total gate counts, and 32-tri sub-AABB gating only cut
+MT tests 166M -> 128M (dud).  Lockstep tiling pays ~(tile spread /
+cluster size) x corridor length; closing the remaining gap needs more
+rays per launch (amortizes bucket population), not a better sort key.
 """
 from __future__ import annotations
 
