@@ -49,12 +49,17 @@ PATH_SAMPLES = 8
 BOUNCES = 5
 N_TIMED_STEPS = 5
 BASELINE_MRAYS = 80.0
-# wavefront folding: halve the path wavefront every FOLD bounces (exactly
-# unbiased pairwise survivor pick, path.py:119-153); 0 = off.
-# Measured on v5e (equal-spp Cornell MSE vs a 64-spp reference):
-#   fold=0: 468.8 Mrays/s, frac 0.512, useful 240.0, MSE +0.0%
-#   fold=2: 462.8 Mrays/s, frac 0.633, useful 293.0, MSE +1.8%   <- default
-#   fold=1: 424.2 Mrays/s, frac 0.717, useful 304.0, MSE +9.9%
+# wavefront folding: halve the path wavefront every FOLD bounces; 0 = off.
+# Round 5: folds are SURVIVAL-SORTED by default (PathOptions.fold_sort —
+# one multi-operand lax.sort pairs dead lanes with alive ones first, so a
+# fold at <=50% survival is lossless).  Measured equal-spp MSE vs a 16x
+# reference (64^2 Cornell, CPU):
+#   fold=0:            frac 0.516, MSE +0.0%
+#   fold=2 plain (r4): frac 0.637, MSE +0.79%
+#   fold=2 sorted:     frac 0.714, MSE +0.08%   <- default
+#   fold=1 sorted:     frac 0.788, MSE +4.9%
+#   fold=1 start=2:    frac 0.717, MSE +1.4%   (folding depth 3 crosses
+#                      the 50% survival line; fold2_sort dominates)
 FOLD = int(os.environ.get("CORE_TPU_BENCH_FOLD", "2"))
 
 # --- big-scene configuration (BASELINE config #5 scale: 1M tris, 1024^2) ---

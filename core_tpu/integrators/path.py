@@ -79,6 +79,10 @@ class PathOptions:
     # 0 = off.  Folding trades a little tail variance for tracing half
     # (quarter, ...) the lanes at deep bounces.
     fold_interval: int = 0
+    # first depth eligible for folding (with fold_interval=1 and
+    # fold_start=2 the wavefront halves at every bounce from depth 2 —
+    # skipping the lossy depth-1 fold where survival is still ~70%)
+    fold_start: int = 0
     # survival-sorted folding (round-4 verdict weak #2 closure): before
     # pairing, stable-sort the whole per-lane path state by aliveness
     # (one multi-operand lax.sort — values ride the sort, no lane
@@ -129,6 +133,7 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
         # wavefront by pairing lane i with lane i+half; exactly unbiased
         # (see option docstring), all elementwise — no gathers.
         if opts.fold_interval > 0 and depth > 0 \
+                and depth >= opts.fold_start \
                 and depth % opts.fold_interval == 0 \
                 and offs.shape[0] % 2 == 0 and offs.shape[0] >= 256:
             h = offs.shape[0] // 2

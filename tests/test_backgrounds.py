@@ -40,8 +40,11 @@ def test_sunsky_physical_shape():
 
 def test_texture_background_sphere_mapping():
     img = np.zeros((8, 16, 3), np.float32)
-    img[:4] = (1, 0, 0)     # v<0.5 (down hemisphere after mapping) red
-    img[4:] = (0, 1, 0)     # up green
+    # image ROW 0 is the TOP of the picture = the up pole (v~1): the
+    # reference flips V on every image lookup (imagetex.cc:133; round-5
+    # mesh+IBL golden anchored the convention, textures/base.py)
+    img[:4] = (0, 1, 0)     # image top = up hemisphere, green
+    img[4:] = (1, 0, 0)     # image bottom = down hemisphere, red
     ctex = build_texture_set([TextureDef(ttype=TexType.IMAGE, image=img,
                                          clip_mode="repeat")])
     bg = make_texture_background(ctex, tex_id=0, power=2.0)
@@ -49,7 +52,7 @@ def test_texture_background_sphere_mapping():
     d = jnp.asarray([[0.2, 0, 0.98], [0.2, 0, -0.98]], jnp.float32)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     c = np.asarray(eval_background(bg, d))
-    # v = 1 - theta/pi: up => v~1 (green), down => v~0 (red); power 2
+    # v = 1 - theta/pi: up => v~1 (image top, green), down => red; power 2
     assert c[0, 1] > 1.5 and c[0, 0] < 0.5
     assert c[1, 0] > 1.5 and c[1, 1] < 0.5
 
