@@ -50,16 +50,19 @@ BOUNCES = 5
 N_TIMED_STEPS = 5
 BASELINE_MRAYS = 80.0
 # wavefront folding: halve the path wavefront every FOLD bounces; 0 = off.
-# Round 5: folds are SURVIVAL-SORTED by default (PathOptions.fold_sort —
-# one multi-operand lax.sort pairs dead lanes with alive ones first, so a
-# fold at <=50% survival is lossless).  Measured equal-spp MSE vs a 16x
-# reference (64^2 Cornell, CPU):
+# Round 5 added SURVIVAL-SORTED folding (PathOptions.fold_sort — a
+# lax.sort pairs dead lanes with alive ones first, so a fold at <=50%
+# survival is lossless).  Measured equal-spp MSE vs a 16x reference
+# (64^2 Cornell, CPU):
 #   fold=0:            frac 0.516, MSE +0.0%
-#   fold=2 plain (r4): frac 0.637, MSE +0.79%
-#   fold=2 sorted:     frac 0.714, MSE +0.08%   <- default
+#   fold=2 plain:      frac 0.637, MSE +0.79%  <- bench default
+#   fold=2 sorted:     frac 0.714, MSE +0.08%
 #   fold=1 sorted:     frac 0.788, MSE +4.9%
-#   fold=1 start=2:    frac 0.717, MSE +1.4%   (folding depth 3 crosses
-#                      the 50% survival line; fold2_sort dominates)
+#   fold=1 start=2:    frac 0.717, MSE +1.4%
+# The bench uses PLAIN folding: XLA:TPU compiles the fwd+bwd graph
+# pathologically (>30 min) when per-lane state rides lax.sort inside the
+# full render (path.py fold_sort docstring); sorted folds remain the
+# quality option for CPU / forward-only paths.
 FOLD = int(os.environ.get("CORE_TPU_BENCH_FOLD", "2"))
 
 # --- big-scene configuration (BASELINE config #5 scale: 1M tris, 1024^2) ---

@@ -157,12 +157,24 @@ def _paths_batched(scene, types_present, sp0, p0, wo0, active0, n_paths,
                 skey = (~active).astype(jnp.int32)
                 sidx = jnp.arange(nlanes, dtype=jnp.int32)
                 out = jax.lax.sort(
-                    (skey, active.astype(jnp.int8), sidx, offs, *ops),
+                    (skey, active.astype(jnp.int8), sidx, offs),
                     num_keys=1, is_stable=True)
-                _, active_s, sort_idx, offs, *ops = out
+                _, active_s, sort_idx, offs = out
                 active = active_s.astype(jnp.bool_)
+                # the remaining ~20 state leaves ride several SMALL
+                # sorts sharing the same key (<= 8 data operands each):
+                # one 24-operand variadic sort measured a pathological
+                # XLA:TPU compile inside the full fwd+bwd graph, while
+                # the same work as narrow sorts compiles normally
+                sorted_ops = []
+                GROUP = 8
+                for g0 in range(0, len(ops), GROUP):
+                    grp = ops[g0:g0 + GROUP]
+                    res = jax.lax.sort((skey,) + tuple(grp), num_keys=1,
+                                       is_stable=True)
+                    sorted_ops.extend(res[1:])
                 leaves = [o.astype(jnp.bool_) if b else o
-                          for o, b in zip(ops, bools)]
+                          for o, b in zip(sorted_ops, bools)]
                 (sp, p, wo, throughput, pixel_sample_b,
                  sampling_offs_b) = jax.tree_util.tree_unflatten(
                     treedef, leaves)
