@@ -59,11 +59,13 @@ BASELINE_MRAYS = 80.0
 #   fold=2 sorted:     frac 0.714, MSE +0.08%
 #   fold=1 sorted:     frac 0.788, MSE +4.9%
 #   fold=1 start=2:    frac 0.717, MSE +1.4%
-# The bench uses PLAIN folding: XLA:TPU compiles the fwd+bwd graph
-# pathologically (>30 min) when per-lane state rides lax.sort inside the
-# full render (path.py fold_sort docstring); sorted folds remain the
-# quality option for CPU / forward-only paths.
-FOLD = int(os.environ.get("CORE_TPU_BENCH_FOLD", "2"))
+# Round 5: the bench defaults to FOLD=0 — on this round's graph XLA:TPU
+# compiles ANY folded fwd+bwd variant pathologically (>17 min observed
+# for plain fold=2, >28 min for sorted; fold=0 compiles in ~60 s; the
+# same graphs compile in ~80 s on CPU).  fold=0 also gave the best
+# round-4 headline (468.8 vs 462.8 Mrays/s); the folding quality table
+# above is CPU-measured and the options remain available.
+FOLD = int(os.environ.get("CORE_TPU_BENCH_FOLD", "0"))
 
 # --- big-scene configuration (BASELINE config #5 scale: 1M tris, 1024^2) ---
 BIG_RES = 1024
@@ -273,6 +275,8 @@ def bench_big_scene():
         return loss_fn
 
     bwd_mrays = 0.0
+    if os.environ.get("CORE_TPU_BENCH_BIG_BWD", "1") == "0":
+        return n_tris, fwd_mrays, bwd_mrays
     for res in (BIG_RES, BIG_RES // 2):
         try:
             sc = scene if res == BIG_RES else big_scene(
@@ -296,8 +300,16 @@ def bench_big_scene():
 
 
 def main():
+    import sys
+
+    def phase(msg):
+        print(f"# bench phase: {msg}", file=sys.stderr, flush=True)
+
+    phase("kernel parity")
     parity = check_kernel_parity()
+    phase("cornell")
     mrays, active_frac = bench_cornell()
+    phase("cornell done")
 
     result = {
         "metric": "cornell_pathtrace_fwd_bwd_throughput",
@@ -309,6 +321,8 @@ def main():
         "kernel_parity": parity,
     }
     if RUN_BIG:
+        import sys
+        print("# bench phase: big scene", file=sys.stderr, flush=True)
         n_tris, big_mrays, big_bwd = bench_big_scene()
         result["bigscene_tris"] = n_tris
         result["bigscene_fwd_mrays"] = round(big_mrays, 3)
